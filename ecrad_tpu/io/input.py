@@ -1,0 +1,341 @@
+"""Driver input reader: NetCDF → containers.
+
+Reference: driver/ecrad_driver_read_input.F90:21-622 (variable-name
+conventions, unit handling, overlap-parameter derivation) and
+driver/ecrad_driver_config.F90:32-133 (the &radiation_driver namelist).
+Host-side numpy; arrays are converted to jnp at the sharding boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ecrad_tpu import constants
+from ecrad_tpu.containers import (
+    Aerosol, Cloud, Gas, SingleLevel, Thermodynamics,
+)
+from ecrad_tpu.io.netcdf import NcFile
+from ecrad_tpu.namelist import read_namelist_file
+
+
+@dataclasses.dataclass
+class DriverConfig:
+    """&radiation_driver namelist (driver/ecrad_driver_config.F90:32-133)."""
+    do_parallel: bool = True
+    nblocksize: int = 8
+    istartcol: int = 0
+    iendcol: int = 0
+    nrepeat: int = 1
+    iverbose: int = 2
+    do_save_inputs: bool = False
+    do_save_net_fluxes: bool = False
+    do_write_double_precision: bool = False
+    do_correct_unphysical_inputs: bool = False
+    experiment_name: str = ""
+    # Cloud geometry overrides
+    cloud_separation_scale_toa: float = -1.0
+    cloud_separation_scale_surface: float = -1.0
+    cloud_separation_scale_power: float = 1.0
+    cloud_inhom_separation_factor: float = 1.0
+    overlap_decorr_length: float = -1.0          # override, m
+    high_inv_effective_size: float = -1.0
+    middle_inv_effective_size: float = -1.0
+    low_inv_effective_size: float = -1.0
+    effective_size_scaling: float = -1.0
+    # Scalar overrides
+    fractional_std: float = -1.0
+    sw_albedo_override: float = -1.0
+    lw_emissivity_override: float = -1.0
+    skin_temperature_override: float = -1.0      # "skin_temperature" key
+    cos_sza_override: float = -1.0               # "cos_solar_zenith_angle"
+    solar_irradiance_override: float = -1.0
+    solar_cycle_multiplier_override: float = -2.0e9
+    cloud_fraction_override: float = -1.0
+    # Per-gas scale factors (driver_config "<gas>_scaling")
+    gas_scaling: Optional[dict] = None
+    vmr_suffix_str: str = "_vmr"
+
+    @classmethod
+    def from_namelist(cls, path: str) -> "DriverConfig":
+        groups = read_namelist_file(path)
+        nml = groups.get("radiation_driver", {})
+        kw = {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        for k, v in nml.items():
+            if k in fields:
+                kw[k] = v
+            elif k == "skin_temperature":
+                kw["skin_temperature_override"] = v
+            elif k == "cos_solar_zenith_angle":
+                kw["cos_sza_override"] = v
+            elif k == "solar_irradiance_override":
+                kw["solar_irradiance_override"] = v
+        scaling = {}
+        for gas in constants.GAS_NAMES:
+            key = f"{gas}_scaling"
+            if key in nml:
+                scaling[gas] = float(nml[key])
+        if "h2o_scaling" in nml:
+            scaling["h2o"] = float(nml["h2o_scaling"])
+        kw["gas_scaling"] = scaling or None
+        return cls(**kw)
+
+
+DECORR_LENGTH_DEFAULT = 2000.0  # m (ecrad_driver_read_input.F90:68)
+
+
+@dataclasses.dataclass
+class RadiationInput:
+    """Everything read from one input file, as numpy arrays."""
+    thermodynamics: Thermodynamics
+    gas_vmr: np.ndarray                # (ncol, nlev, NUM_GASES)
+    cloud_mixing_ratio: np.ndarray     # (ncol, nlev, 2)
+    cloud_effective_radius: np.ndarray
+    cloud_fraction: np.ndarray
+    fractional_std: np.ndarray
+    overlap_param: np.ndarray          # (ncol, nlev-1)
+    inv_cloud_effective_size: Optional[np.ndarray]
+    inv_inhom_effective_size: Optional[np.ndarray]
+    aerosol_mmr: Optional[np.ndarray]  # (ncol, nlev, ntype)
+    cos_sza: np.ndarray
+    skin_temperature: np.ndarray
+    sw_albedo: np.ndarray
+    sw_albedo_direct: Optional[np.ndarray]
+    lw_emissivity: np.ndarray
+    solar_irradiance: float
+    iseed: np.ndarray
+
+    @property
+    def ncol(self):
+        return self.cos_sza.shape[0]
+
+    @property
+    def nlev(self):
+        return self.cloud_fraction.shape[1]
+
+
+def _eta(pressure_hl):
+    """Normalized pressure eta = p / p_surf per half level."""
+    psurf = pressure_hl[:, -1:]
+    return pressure_hl / np.maximum(psurf, 1.0)
+
+
+def compute_overlap_param(pressure_hl, temperature_hl, decorr_length_m):
+    """Overlap parameter from decorrelation length
+    (radiation_cloud.F90 set_overlap_param_approx: alpha =
+    exp(-dz/decorr) with dz from hydrostatic balance)."""
+    # Layer-midpoint separations: use full levels
+    p_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
+    t_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
+    # dz between successive layer midpoints via hypsometric equation
+    r_over_g = constants.R_DRY / constants.ACCEL_GRAVITY
+    tbar = 0.5 * (t_fl[:, :-1] + t_fl[:, 1:])
+    dz = r_over_g * tbar * np.log(p_fl[:, 1:] / np.maximum(p_fl[:, :-1],
+                                                           1e-10))
+    return np.exp(-np.maximum(dz, 0.0) / decorr_length_m)
+
+
+def param_cloud_effective_separation_eta(
+        pressure_hl, separation_surf, separation_toa, power,
+        inhom_separation_factor):
+    """Effective cloud separation as a function of eta
+    (radiation_cloud.F90 param_cloud_effective_separation_eta):
+      separation = surf_value^(eta^power) * toa_value^(1-eta^power)
+    then inv_cloud_effective_size = cloud_separation_exponent/separation.
+    Returns (inv_cloud_eff_size, inv_inhom_eff_size), each (ncol, nlev).
+    """
+    eta_hl = _eta(pressure_hl)
+    eta_fl = 0.5 * (eta_hl[:, :-1] + eta_hl[:, 1:])
+    frac = eta_fl ** power
+    separation = ((separation_surf ** frac)
+                  * (separation_toa ** (1.0 - frac)))
+    inv_cloud = 1.0 / separation
+    inv_inhom = 1.0 / (inhom_separation_factor * separation)
+    return inv_cloud, inv_inhom
+
+
+def read_input(path: str, driver_config: Optional[DriverConfig] = None,
+               dtype=np.float64) -> RadiationInput:
+    dc = driver_config or DriverConfig()
+    with NcFile(path) as f:
+        pressure_hl = f.get("pressure_hl", dtype)
+        temperature_hl = f.get("temperature_hl", dtype)
+        ncol, nhl = pressure_hl.shape
+        nlev = nhl - 1
+
+        thermo = Thermodynamics(pressure_hl=pressure_hl,
+                                temperature_hl=temperature_hl)
+
+        # --- single level
+        if f.exists("solar_irradiance"):
+            solar_irradiance = f.get_scalar("solar_irradiance")
+        else:
+            solar_irradiance = 1366.0
+        if dc.solar_irradiance_override > 0.0:
+            solar_irradiance = dc.solar_irradiance_override
+
+        cos_sza = (f.get("cos_solar_zenith_angle", dtype)
+                   if f.exists("cos_solar_zenith_angle")
+                   else np.zeros(ncol))
+        if dc.cos_sza_override >= 0.0:
+            cos_sza = np.full(ncol, dc.cos_sza_override)
+        skin_t = (f.get("skin_temperature", dtype)
+                  if f.exists("skin_temperature")
+                  else temperature_hl[:, -1].copy())
+        if dc.skin_temperature_override >= 0.0:
+            skin_t = np.full(ncol, dc.skin_temperature_override)
+
+        sw_albedo = f.get("sw_albedo", dtype)
+        if sw_albedo.ndim == 1:
+            sw_albedo = sw_albedo[:, None]
+        if dc.sw_albedo_override >= 0.0:
+            sw_albedo = np.full_like(sw_albedo, dc.sw_albedo_override)
+        sw_albedo_direct = (f.get("sw_albedo_direct", dtype)
+                            if f.exists("sw_albedo_direct") else None)
+        if sw_albedo_direct is not None and sw_albedo_direct.ndim == 1:
+            sw_albedo_direct = sw_albedo_direct[:, None]
+        if sw_albedo_direct is not None and dc.sw_albedo_override >= 0.0:
+            sw_albedo_direct = np.full_like(sw_albedo_direct,
+                                            dc.sw_albedo_override)
+        lw_emissivity = f.get("lw_emissivity", dtype)
+        if lw_emissivity.ndim == 1:
+            lw_emissivity = lw_emissivity[:, None]
+        if dc.lw_emissivity_override >= 0.0:
+            lw_emissivity = np.full_like(lw_emissivity,
+                                         dc.lw_emissivity_override)
+
+        if f.exists("iseed"):
+            iseed = f.get("iseed", None).astype(np.int64)
+        else:
+            # init_seed_simple (radiation_single_level.F90:98)
+            iseed = np.arange(1, ncol + 1, dtype=np.int64)
+
+        # --- clouds
+        cloud_fraction = (f.get("cloud_fraction", dtype)
+                          if f.exists("cloud_fraction")
+                          else np.zeros((ncol, nlev)))
+        if dc.cloud_fraction_override >= 0.0:
+            cloud_fraction = np.where(cloud_fraction > 0.0,
+                                      dc.cloud_fraction_override,
+                                      cloud_fraction)
+        if f.exists("q_hydrometeor"):
+            q_hydro = f.get("q_hydrometeor", dtype)      # (col,type,lev)
+            re_hydro = f.get("re_hydrometeor", dtype)
+            q = np.moveaxis(q_hydro, 1, 2)               # → (col,lev,type)
+            re = np.moveaxis(re_hydro, 1, 2)
+        else:
+            q = np.stack([f.get("q_liquid", dtype), f.get("q_ice", dtype)],
+                         axis=-1) if f.exists("q_liquid") else \
+                np.zeros((ncol, nlev, 2))
+            re = np.stack([f.get("re_liquid", dtype),
+                           f.get("re_ice", dtype)], axis=-1) \
+                if f.exists("re_liquid") else np.full((ncol, nlev, 2), 1e-5)
+
+        if dc.fractional_std >= 0.0:
+            fractional_std = np.full((ncol, nlev), dc.fractional_std)
+        elif f.exists("fractional_std"):
+            fractional_std = f.get("fractional_std", dtype)
+        else:
+            fractional_std = np.zeros((ncol, nlev))
+
+        if dc.overlap_decorr_length > 0.0:
+            overlap_param = compute_overlap_param(
+                pressure_hl, temperature_hl, dc.overlap_decorr_length)
+        elif f.exists("overlap_param"):
+            overlap_param = f.get("overlap_param", dtype)
+        else:
+            overlap_param = compute_overlap_param(
+                pressure_hl, temperature_hl, DECORR_LENGTH_DEFAULT)
+
+        # --- cloud effective size (SPARTACUS/inhomogeneity geometry)
+        inv_cloud_size = None
+        inv_inhom_size = None
+        if dc.cloud_separation_scale_surface > 0.0 \
+                and dc.cloud_separation_scale_toa > 0.0:
+            inv_cloud_size, inv_inhom_size = \
+                param_cloud_effective_separation_eta(
+                    pressure_hl,
+                    dc.cloud_separation_scale_surface,
+                    dc.cloud_separation_scale_toa,
+                    dc.cloud_separation_scale_power,
+                    dc.cloud_inhom_separation_factor)
+        elif f.exists("inv_cloud_effective_size"):
+            inv_cloud_size = f.get("inv_cloud_effective_size", dtype)
+            if f.exists("inv_inhom_effective_size"):
+                inv_inhom_size = f.get("inv_inhom_effective_size", dtype)
+        if inv_cloud_size is not None and dc.effective_size_scaling > 0.0:
+            inv_cloud_size = inv_cloud_size / dc.effective_size_scaling
+            if inv_inhom_size is not None:
+                inv_inhom_size = inv_inhom_size / dc.effective_size_scaling
+
+        # --- aerosols
+        aerosol_mmr = None
+        if f.exists("aerosol_mmr"):
+            raw = f.get("aerosol_mmr", dtype)            # (col, type, lev)
+            aerosol_mmr = np.moveaxis(raw, 1, 2)         # → (col, lev, type)
+
+        # --- gases: all converted to VMR here
+        gas_vmr = np.zeros((ncol, nlev, constants.NUM_GASES))
+
+        def put(name, vmr):
+            gas_vmr[:, :, constants.GAS_INDEX[name]] = vmr
+
+        # Water vapour: "q" (specific humidity, treated as MMR) or h2o_mmr
+        # or h2o_vmr (ecrad_driver_read_input.F90:566-575)
+        if f.exists("q"):
+            put("h2o", Gas.mmr_to_vmr("h2o", f.get("q", dtype)))
+        elif f.exists("h2o_mmr"):
+            put("h2o", Gas.mmr_to_vmr("h2o", f.get("h2o_mmr", dtype)))
+        elif f.exists("h2o" + dc.vmr_suffix_str):
+            put("h2o", f.get("h2o" + dc.vmr_suffix_str, dtype))
+
+        if f.exists("o3_mmr"):
+            put("o3", Gas.mmr_to_vmr("o3", f.get("o3_mmr", dtype)))
+        elif f.exists("o3" + dc.vmr_suffix_str):
+            put("o3", f.get("o3" + dc.vmr_suffix_str, dtype))
+
+        for gname in constants.GAS_NAMES:
+            if gname in ("h2o", "o3"):
+                continue
+            var = gname + dc.vmr_suffix_str
+            if f.exists(var):
+                data = f.get(var, dtype)
+                if data.ndim == 0:
+                    put(gname, np.full((ncol, nlev), float(data)))
+                elif data.ndim == 1:
+                    # (level,) profile replicated over columns, or (col,)
+                    if data.shape[0] == nlev:
+                        put(gname, np.broadcast_to(data[None, :],
+                                                   (ncol, nlev)))
+                    else:
+                        put(gname, np.broadcast_to(data[:, None],
+                                                   (ncol, nlev)))
+                else:
+                    put(gname, data)
+
+        if dc.gas_scaling:
+            for gname, scale in dc.gas_scaling.items():
+                gas_vmr[:, :, constants.GAS_INDEX[gname]] *= scale
+
+    return RadiationInput(
+        thermodynamics=thermo,
+        gas_vmr=gas_vmr,
+        cloud_mixing_ratio=q,
+        cloud_effective_radius=re,
+        cloud_fraction=cloud_fraction,
+        fractional_std=fractional_std,
+        overlap_param=overlap_param,
+        inv_cloud_effective_size=inv_cloud_size,
+        inv_inhom_effective_size=inv_inhom_size,
+        aerosol_mmr=aerosol_mmr,
+        cos_sza=cos_sza,
+        skin_temperature=skin_t,
+        sw_albedo=sw_albedo,
+        sw_albedo_direct=sw_albedo_direct,
+        lw_emissivity=lw_emissivity,
+        solar_irradiance=solar_irradiance,
+        iseed=iseed,
+    )

@@ -1,0 +1,166 @@
+"""Flux output writer (reference: radiation/radiation_save.F90:35-460).
+
+Writes the same variable names/dimensions as the reference ``save_fluxes``
+so the reference comparison tooling (test/common/nccmp.py) works unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ecrad_tpu.config import Config
+from ecrad_tpu.containers import Flux
+from ecrad_tpu.io.netcdf import NcWriter
+
+
+def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
+                experiment_name: str = "",
+                double_precision: bool = False):
+    dt = "f8" if double_precision else "f4"
+    w = NcWriter(path)
+    w.set_global_attr("title",
+                      "Radiative flux profiles from the ecrad_tpu "
+                      "offline radiation scheme")
+    if experiment_name:
+        w.set_global_attr("experiment", experiment_name)
+
+    def arr(x):
+        return np.asarray(x)
+
+    w.write("pressure_hl", arr(pressure_hl), ("column", "half_level"),
+            units="Pa", long_name="Pressure on half-levels", dtype=dt)
+
+    if config.do_lw:
+        w.write("flux_up_lw", arr(flux.lw_up), ("column", "half_level"),
+                units="W m-2", long_name="Upwelling longwave flux", dtype=dt)
+        w.write("flux_dn_lw", arr(flux.lw_dn), ("column", "half_level"),
+                units="W m-2", long_name="Downwelling longwave flux",
+                dtype=dt)
+        if config.do_clear:
+            w.write("flux_up_lw_clear", arr(flux.lw_up_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Upwelling clear-sky longwave flux", dtype=dt)
+            w.write("flux_dn_lw_clear", arr(flux.lw_dn_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Downwelling clear-sky longwave flux",
+                    dtype=dt)
+        if config.do_lw_derivatives and flux.lw_derivatives is not None:
+            w.write("lw_derivative", arr(flux.lw_derivatives),
+                    ("column", "half_level"),
+                    long_name="Derivative of upwelling longwave flux "
+                              "w.r.t. surface value", dtype=dt)
+        if config.do_canopy_fluxes_lw and flux.lw_dn_surf_canopy is not None:
+            w.write("canopy_flux_dn_lw_surf", arr(flux.lw_dn_surf_canopy),
+                    ("column", "canopy_band_lw"), units="W m-2",
+                    long_name="Surface downwelling longwave flux in "
+                              "canopy bands", dtype=dt)
+        if config.do_save_spectral_flux and flux.lw_up_band is not None:
+            w.write("spectral_flux_up_lw", arr(flux.lw_up_band),
+                    ("column", "half_level", "band_lw"), units="W m-2",
+                    long_name="Spectral upwelling longwave flux", dtype=dt)
+            w.write("spectral_flux_dn_lw", arr(flux.lw_dn_band),
+                    ("column", "half_level", "band_lw"), units="W m-2",
+                    long_name="Spectral downwelling longwave flux", dtype=dt)
+            if config.do_clear and flux.lw_up_clear_band is not None:
+                w.write("spectral_flux_up_lw_clear",
+                        arr(flux.lw_up_clear_band),
+                        ("column", "half_level", "band_lw"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky longwave "
+                                  "flux", dtype=dt)
+                w.write("spectral_flux_dn_lw_clear",
+                        arr(flux.lw_dn_clear_band),
+                        ("column", "half_level", "band_lw"), units="W m-2",
+                        long_name="Spectral downwelling clear-sky longwave "
+                                  "flux", dtype=dt)
+
+    if config.do_sw:
+        w.write("flux_up_sw", arr(flux.sw_up), ("column", "half_level"),
+                units="W m-2", long_name="Upwelling shortwave flux",
+                dtype=dt)
+        w.write("flux_dn_sw", arr(flux.sw_dn), ("column", "half_level"),
+                units="W m-2", long_name="Downwelling shortwave flux",
+                dtype=dt)
+        if config.do_sw_direct:
+            w.write("flux_dn_direct_sw", arr(flux.sw_dn_direct),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Downwelling direct shortwave flux", dtype=dt)
+        if config.do_clear:
+            w.write("flux_up_sw_clear", arr(flux.sw_up_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Upwelling clear-sky shortwave flux", dtype=dt)
+            w.write("flux_dn_sw_clear", arr(flux.sw_dn_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Downwelling clear-sky shortwave flux",
+                    dtype=dt)
+            if config.do_sw_direct:
+                w.write("flux_dn_direct_sw_clear",
+                        arr(flux.sw_dn_direct_clear),
+                        ("column", "half_level"), units="W m-2",
+                        long_name="Downwelling clear-sky direct shortwave "
+                                  "flux", dtype=dt)
+        if config.do_surface_sw_spectral_flux \
+                and flux.sw_dn_surf_band is not None:
+            w.write("spectral_flux_dn_sw_surf", arr(flux.sw_dn_surf_band),
+                    ("column", "band_sw"), units="W m-2",
+                    long_name="Spectral downwelling shortwave flux at "
+                              "surface", dtype=dt)
+            if flux.sw_dn_direct_surf_band is not None:
+                w.write("spectral_flux_dn_direct_sw_surf",
+                        arr(flux.sw_dn_direct_surf_band),
+                        ("column", "band_sw"), units="W m-2",
+                        long_name="Spectral downwelling direct shortwave "
+                                  "flux at surface", dtype=dt)
+            if config.do_clear and flux.sw_dn_surf_clear_band is not None:
+                w.write("spectral_flux_dn_sw_surf_clear",
+                        arr(flux.sw_dn_surf_clear_band),
+                        ("column", "band_sw"), units="W m-2",
+                        long_name="Spectral downwelling clear-sky shortwave "
+                                  "flux at surface", dtype=dt)
+                if flux.sw_dn_direct_surf_clear_band is not None:
+                    w.write("spectral_flux_dn_direct_sw_surf_clear",
+                            arr(flux.sw_dn_direct_surf_clear_band),
+                            ("column", "band_sw"), units="W m-2",
+                            long_name="Spectral downwelling clear-sky "
+                                      "direct shortwave flux at surface",
+                            dtype=dt)
+        if config.do_save_spectral_flux and flux.sw_up_band is not None:
+            w.write("spectral_flux_up_sw", arr(flux.sw_up_band),
+                    ("column", "half_level", "band_sw"), units="W m-2",
+                    long_name="Spectral upwelling shortwave flux", dtype=dt)
+            w.write("spectral_flux_dn_sw", arr(flux.sw_dn_band),
+                    ("column", "half_level", "band_sw"), units="W m-2",
+                    long_name="Spectral downwelling shortwave flux",
+                    dtype=dt)
+            if config.do_clear and flux.sw_up_clear_band is not None:
+                w.write("spectral_flux_up_sw_clear",
+                        arr(flux.sw_up_clear_band),
+                        ("column", "half_level", "band_sw"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky shortwave "
+                                  "flux", dtype=dt)
+                w.write("spectral_flux_dn_sw_clear",
+                        arr(flux.sw_dn_clear_band),
+                        ("column", "half_level", "band_sw"), units="W m-2",
+                        long_name="Spectral downwelling clear-sky shortwave "
+                                  "flux", dtype=dt)
+        if config.do_canopy_fluxes_sw \
+                and flux.sw_dn_diffuse_surf_canopy is not None:
+            w.write("canopy_flux_dn_diffuse_sw_surf",
+                    arr(flux.sw_dn_diffuse_surf_canopy),
+                    ("column", "canopy_band_sw"), units="W m-2",
+                    long_name="Surface downwelling diffuse shortwave flux "
+                              "in canopy bands", dtype=dt)
+            w.write("canopy_flux_dn_direct_sw_surf",
+                    arr(flux.sw_dn_direct_surf_canopy),
+                    ("column", "canopy_band_sw"), units="W m-2",
+                    long_name="Surface downwelling direct shortwave flux "
+                              "in canopy bands", dtype=dt)
+
+    if flux.cloud_cover_lw is not None and config.do_lw:
+        w.write("cloud_cover_lw", arr(flux.cloud_cover_lw), ("column",),
+                long_name="Total cloud cover diagnosed by longwave solver",
+                dtype=dt)
+    if flux.cloud_cover_sw is not None and config.do_sw:
+        w.write("cloud_cover_sw", arr(flux.cloud_cover_sw), ("column",),
+                long_name="Total cloud cover diagnosed by shortwave solver",
+                dtype=dt)
+    w.close()
