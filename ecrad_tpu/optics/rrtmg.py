@@ -1,0 +1,151 @@
+"""RRTMG gas optics backend: the equivalent of
+radiation/radiation_ifs_rrtm.F90:216-614 (gas_optics) plus
+planck_function_atmos/surf (L618-904), fully vectorized in JAX with
+top-down level ordering throughout (the reference's internal bottom-up
+reordering and final flip cancel out here).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ecrad_tpu.optics import rrtmg_data, rrtmg_lw, rrtmg_sw
+from ecrad_tpu.optics.rrtmg_prepare import prepare_columns
+
+FLUXFAC = np.pi * 1.0e4
+
+
+class RRTMGGasOptics(NamedTuple):
+    """Output of the RRTMG backend (all top-down, g last)."""
+    od_lw: Optional[jnp.ndarray] = None        # (ncol, nlev, 140)
+    planck_hl: Optional[jnp.ndarray] = None    # (ncol, nlev+1, 140)
+    lw_emission: Optional[jnp.ndarray] = None  # (ncol, 140) surface Planck
+    od_sw: Optional[jnp.ndarray] = None        # (ncol, nlev, 112)
+    ssa_sw: Optional[jnp.ndarray] = None       # (ncol, nlev, 112)
+    incoming_sw: Optional[jnp.ndarray] = None  # (ncol, 112)
+
+
+def setup_tables():
+    """Host-side: load + reshape all tables. Returns (tables_dict, meta)."""
+    raw = rrtmg_data.load_tables()
+    tables = {}
+    tables.update({f"lw:{k}": v
+                   for k, v in rrtmg_lw.build_lw_tables(raw).items()})
+    tables.update({f"sw:{k}": v
+                   for k, v in rrtmg_sw.build_sw_tables(raw).items()})
+    tables["pref"] = raw["pref"]
+    tables["preflog"] = raw["preflog"]
+    tables["tref"] = raw["tref"]
+    tables["chi_mls"] = raw["chi_mls"]
+    tables["totplnk"] = raw["lw_totplnk"]
+    tables["delwave"] = raw["lw_delwave"]
+    tables["lw_band_from_g"] = raw["lw_band_from_g"]
+    tables["sw_band_from_g"] = raw["sw_band_from_g"]
+    return tables
+
+
+def _planck_interp_index(temperature):
+    """TOTPLNK LUT index+fraction (radiation_ifs_rrtm.F90:672-690).
+
+    Returns (0-based index, fraction)."""
+    t = temperature
+    ind_mid = jnp.floor(t - 159.0).astype(jnp.int32)
+    frac_mid = t - jnp.floor(t)
+    ind = jnp.where(t >= 339.0, 180,
+                    jnp.where(t < 160.0, 1, ind_mid))
+    frac = jnp.where(t >= 339.0, t - 339.0,
+                     jnp.where(t < 160.0, 0.0, frac_mid))
+    return ind - 1, frac
+
+
+def _planck_store(totplnk, delwave, temperature):
+    """Planck flux per LW band at given temperatures.
+
+    temperature (...,) → (..., nbands)."""
+    totplnk = jnp.asarray(totplnk)                # (181, 16)
+    delwave = jnp.asarray(delwave)
+    ind, frac = _planck_interp_index(temperature)
+    p0 = jnp.take(totplnk, ind, axis=0)           # (..., 16)
+    p1 = jnp.take(totplnk, jnp.clip(ind + 1, 0, 180), axis=0)
+    return FLUXFAC * delwave * (p0 + frac[..., None] * (p1 - p0))
+
+
+def gas_optics(tables: dict, pressure_hl, temperature_hl,
+               gas_mmr: dict, cos_sza=None,
+               do_lw=True, do_sw=True, skin_temperature=None,
+               solar_irradiance=1366.0,
+               min_gas_od_lw=1.0e-15, min_gas_od_sw=0.0,
+               spectral_solar_scaling=None) -> RRTMGGasOptics:
+    """Full RRTMG gas optics.
+
+    gas_mmr: dict of (ncol, nlev) MASS mixing ratios with keys
+    h2o, co2, ch4, n2o, cfc11, cfc12, hcfc22, ccl4, o3 (absent → 0).
+    """
+    pressure_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
+    temperature_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
+    zero = jnp.zeros_like(pressure_fl)
+
+    def g(name):
+        return gas_mmr.get(name, zero)
+
+    cols = prepare_columns(
+        pressure_hl, pressure_fl, temperature_fl,
+        g("h2o"), g("co2"), g("ch4"), g("n2o"), g("cfc11"), g("cfc12"),
+        g("hcfc22"), g("ccl4"), g("o3"),
+        tables["preflog"], tables["tref"], tables["chi_mls"])
+
+    out = {}
+    if do_lw:
+        lw_tables = {k[3:]: v for k, v in tables.items()
+                     if k.startswith("lw:")}
+        lw_tables["chi_mls"] = tables["chi_mls"]
+        tau_lw, pfrac = rrtmg_lw.gas_optical_depth_lw(lw_tables, cols)
+        out["od_lw"] = jnp.maximum(tau_lw, min_gas_od_lw)
+
+        # Planck at half levels: each half-level pairs with the PFRAC of
+        # the layer above it; TOA half-level uses the top layer
+        # (radiation_ifs_rrtm.F90:712-745)
+        band_from_g = jnp.asarray(tables["lw_band_from_g"])
+        planck_bands_hl = _planck_store(tables["totplnk"],
+                                        tables["delwave"],
+                                        temperature_hl)  # (ncol,nlev+1,16)
+        planck_g_hl = jnp.take(planck_bands_hl, band_from_g, axis=-1)
+        pfrac_hl = jnp.concatenate([pfrac[:, :1], pfrac], axis=1)
+        out["planck_hl"] = planck_g_hl * pfrac_hl
+
+        if skin_temperature is not None:
+            planck_bands_surf = _planck_store(tables["totplnk"],
+                                              tables["delwave"],
+                                              skin_temperature)
+            planck_g_surf = jnp.take(planck_bands_surf, band_from_g,
+                                     axis=-1)
+            # PFRAC of the lowest model layer (radiation_ifs_rrtm.F90:453)
+            out["lw_emission"] = planck_g_surf * pfrac[:, -1]
+
+    if do_sw:
+        sw_tables = {k[3:]: v for k, v in tables.items()
+                     if k.startswith("sw:")}
+        taug, taur, sflux = rrtmg_sw.gas_optical_depth_sw(sw_tables, cols)
+        od_sw = taur + taug
+        ssa_sw = taur / od_sw
+        out["od_sw"] = jnp.maximum(od_sw, min_gas_od_sw)
+        out["ssa_sw"] = ssa_sw
+
+        if cos_sza is not None:
+            day = cos_sza > 0.0
+            incsol = jnp.where(day[:, None], sflux, 0.0)
+            if spectral_solar_scaling is not None:
+                # per-band scaling mapped to g points
+                # (radiation_ifs_rrtm.F90:543-551)
+                band_from_g_sw = jnp.asarray(tables["sw_band_from_g"])
+                incsol = incsol * jnp.take(spectral_solar_scaling,
+                                           band_from_g_sw, axis=-1)
+            total = jnp.sum(incsol, axis=-1)
+            scale = jnp.where(day, solar_irradiance
+                              / jnp.maximum(total, 1.0e-30), 1.0)
+            out["incoming_sw"] = incsol * scale[:, None]
+
+    return RRTMGGasOptics(**out)
