@@ -1,0 +1,310 @@
+"""Radiation scheme orchestration.
+
+Equivalent of radiation/radiation_interface.F90: ``setup_radiation``
+(host-side, loads LUTs and computes spectral mappings → a pytree of
+tables + an updated static Config) and ``radiation`` (the jittable hot
+path, dispatching gas optics / cloud optics / aerosols / solvers).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ecrad_tpu import constants
+from ecrad_tpu.config import Config, GasModel, Solver
+from ecrad_tpu.containers import Flux
+from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
+from ecrad_tpu.solvers import cloudless
+
+
+class Tables(NamedTuple):
+    """Setup-time derived arrays (HBM-resident pytree, replicated)."""
+    gas: Dict                      # gas-optics tables
+    sw_albedo_weights: Optional[np.ndarray] = None   # (nalbedo, nbands_sw)
+    lw_emiss_weights: Optional[np.ndarray] = None    # (nemiss, nbands_lw)
+    i_albedo_from_band_sw: Optional[np.ndarray] = None
+    i_emiss_from_band_lw: Optional[np.ndarray] = None
+    band_from_g_sw: Optional[np.ndarray] = None      # (n_g_sw,) 0-based
+    band_from_g_lw: Optional[np.ndarray] = None
+    cloud: Optional[Dict] = None                     # cloud-optics tables
+    aerosol: Optional[Dict] = None                   # aerosol-optics tables
+    pdf_sampler: Optional[Dict] = None               # McICA PDF LUT
+
+
+def setup_radiation(config: Config):
+    """Host-side setup (radiation_interface.F90:37-156).
+
+    Returns (consolidated config, Tables).
+    """
+    if config.gas_model_sw != GasModel.RRTMG or \
+            config.gas_model_lw != GasModel.RRTMG:
+        if config.gas_model_sw != GasModel.ECCKD:
+            raise NotImplementedError(
+                "only RRTMG and ecCKD gas optics are implemented")
+
+    kw = {}
+    tab = {}
+
+    if config.gas_model_sw == GasModel.RRTMG:
+        gas_tables = rrtmg.setup_tables()
+        kw["n_g_sw"] = rrtmg_data.NG_SW
+        kw["n_bands_sw"] = rrtmg_data.NBANDS_SW
+        kw["n_g_lw"] = rrtmg_data.NG_LW
+        kw["n_bands_lw"] = rrtmg_data.NBANDS_LW
+        # RRTMG supports only band-wise cloud/aerosol/surface optics
+        # (radiation_ifs_rrtm.F90:106-107,151-152)
+        kw["do_cloud_aerosol_per_sw_g_point"] = False
+        kw["do_cloud_aerosol_per_lw_g_point"] = False
+        band_from_g_sw = gas_tables["sw_band_from_g"]
+        band_from_g_lw = gas_tables["lw_band_from_g"]
+        wn1_sw, wn2_sw = rrtmg_data.SW_WAVENUM1, rrtmg_data.SW_WAVENUM2
+        wn1_lw, wn2_lw = rrtmg_data.LW_WAVENUM1, rrtmg_data.LW_WAVENUM2
+    else:
+        raise NotImplementedError("ecCKD setup arrives with the ecCKD "
+                                  "backend")
+
+    # --- surface albedo/emissivity interval consolidation
+    # (radiation_config.F90:1947-2103)
+    i_sw_idx = [i for i in config.i_sw_albedo_index if i and i > 0]
+    if not i_sw_idx:
+        i_sw_idx = [1]
+    sw_bounds = list(config.sw_albedo_wavelength_bound[:len(i_sw_idx) - 1])
+    sw_albedo_weights = spectral.calc_mapping_from_bands(
+        wn1_sw, wn2_sw, spectral.SOLAR_REFERENCE_TEMPERATURE,
+        sw_bounds, i_sw_idx)
+    kw["n_albedo_intervals"] = int(max(i_sw_idx))
+    if config.use_canopy_full_spectrum_sw:
+        kw["n_canopy_bands_sw"] = kw["n_g_sw"]
+    else:
+        kw["n_canopy_bands_sw"] = int(max(i_sw_idx))
+    i_albedo_from_band_sw = None
+    if config.do_nearest_spectral_sw_albedo:
+        i_albedo_from_band_sw = np.argmax(sw_albedo_weights, axis=0)
+
+    i_lw_idx = [i for i in config.i_lw_emiss_index if i and i > 0]
+    if not i_lw_idx:
+        i_lw_idx = [1]
+    lw_bounds = list(config.lw_emiss_wavelength_bound[:len(i_lw_idx) - 1])
+    lw_emiss_weights = spectral.calc_mapping_from_bands(
+        wn1_lw, wn2_lw, spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
+        lw_bounds, i_lw_idx)
+    kw["n_emiss_intervals"] = int(max(i_lw_idx))
+    if config.use_canopy_full_spectrum_lw:
+        kw["n_canopy_bands_lw"] = kw["n_g_lw"]
+    else:
+        kw["n_canopy_bands_lw"] = int(max(i_lw_idx))
+    i_emiss_from_band_lw = None
+    if config.do_nearest_spectral_lw_emiss:
+        i_emiss_from_band_lw = np.argmax(lw_emiss_weights, axis=0)
+
+    kw["do_clouds"] = not (config.sw_solver == Solver.CLOUDLESS
+                           and config.lw_solver == Solver.CLOUDLESS)
+    kw["is_consolidated"] = True
+
+    new_config = config.replace(**kw)
+    tables = Tables(
+        gas=gas_tables,
+        sw_albedo_weights=sw_albedo_weights,
+        lw_emiss_weights=lw_emiss_weights,
+        i_albedo_from_band_sw=i_albedo_from_band_sw,
+        i_emiss_from_band_lw=i_emiss_from_band_lw,
+        band_from_g_sw=band_from_g_sw,
+        band_from_g_lw=band_from_g_lw,
+    )
+    return new_config, tables
+
+
+# ---------------------------------------------------------------------------
+
+def get_albedos(config: Config, tables: Tables, sw_albedo,
+                sw_albedo_direct, lw_emissivity):
+    """Surface albedo/emissivity intervals → per-g-point values
+    (radiation_single_level.F90:216-372)."""
+    band_g_sw = jnp.asarray(tables.band_from_g_sw)
+    band_g_lw = jnp.asarray(tables.band_from_g_lw)
+
+    if config.do_nearest_spectral_sw_albedo:
+        idx = jnp.asarray(tables.i_albedo_from_band_sw)[band_g_sw]
+        sw_albedo_diffuse_g = sw_albedo[:, idx]
+        sw_albedo_direct_g = (sw_albedo_direct[:, idx]
+                              if sw_albedo_direct is not None
+                              else sw_albedo_diffuse_g)
+    else:
+        w = jnp.asarray(tables.sw_albedo_weights)       # (nalb, nband)
+        alb_band = sw_albedo @ w                        # (ncol, nband)
+        sw_albedo_diffuse_g = alb_band[:, band_g_sw]
+        if sw_albedo_direct is not None:
+            sw_albedo_direct_g = (sw_albedo_direct @ w)[:, band_g_sw]
+        else:
+            sw_albedo_direct_g = sw_albedo_diffuse_g
+
+    if config.do_nearest_spectral_lw_emiss:
+        idx = jnp.asarray(tables.i_emiss_from_band_lw)[band_g_lw]
+        lw_albedo_g = 1.0 - lw_emissivity[:, idx]
+    else:
+        w = jnp.asarray(tables.lw_emiss_weights)
+        lw_albedo_g = ((1.0 - lw_emissivity) @ w)[:, band_g_lw]
+
+    return sw_albedo_direct_g, sw_albedo_diffuse_g, lw_albedo_g
+
+
+def indexed_sum_g(x_g, band_from_g, nbands: int):
+    """Sum g-point array into bands along the last axis
+    (radiation_flux.F90 indexed_sum). band_from_g 0-based."""
+    band_from_g = jnp.asarray(band_from_g)
+    onehot = (band_from_g[:, None]
+              == jnp.arange(nbands)[None, :]).astype(x_g.dtype)
+    return x_g @ onehot
+
+
+def radiation(config: Config, tables: Tables, *,
+              pressure_hl, temperature_hl, gas_mmr,
+              cos_sza, skin_temperature, sw_albedo, sw_albedo_direct,
+              lw_emissivity, solar_irradiance,
+              cloud=None, aerosol=None, iseed=None) -> Flux:
+    """The hot path (radiation_interface.F90:200-517). Jit with
+    config static; all array args are traced.
+
+    gas_mmr: (ncol, nlev, NUM_GASES) mass mixing ratios in
+    constants.GAS_NAMES order.
+    """
+    sw_albedo_direct_g, sw_albedo_diffuse_g, lw_albedo_g = get_albedos(
+        config, tables, sw_albedo, sw_albedo_direct, lw_emissivity)
+
+    gdict = {name: gas_mmr[:, :, constants.GAS_INDEX[name]]
+             for name in ("h2o", "co2", "ch4", "n2o", "cfc11", "cfc12",
+                          "hcfc22", "ccl4", "o3")}
+
+    go = rrtmg.gas_optics(
+        tables.gas, pressure_hl, temperature_hl, gdict,
+        cos_sza=cos_sza, do_lw=config.do_lw, do_sw=config.do_sw,
+        skin_temperature=skin_temperature,
+        solar_irradiance=solar_irradiance,
+        min_gas_od_lw=config.min_gas_od_lw,
+        min_gas_od_sw=config.min_gas_od_sw)
+
+    flux_kw = {}
+
+    if config.do_lw:
+        lw_emission = go.lw_emission * (1.0 - lw_albedo_g)
+        ssa_lw = jnp.zeros_like(go.od_lw)
+        g_lw = jnp.zeros_like(go.od_lw)
+
+        if config.lw_solver == Solver.CLOUDLESS:
+            lw = cloudless.solver_cloudless_lw(
+                go.od_lw, ssa_lw, g_lw, go.planck_hl, lw_emission,
+                lw_albedo_g,
+                do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
+                do_lw_derivatives=config.do_lw_derivatives)
+        else:
+            raise NotImplementedError(
+                f"LW solver {config.lw_solver} not yet implemented")
+
+        flux_kw.update(
+            lw_up=lw.flux_up, lw_dn=lw.flux_dn,
+            lw_up_clear=lw.flux_up, lw_dn_clear=lw.flux_dn,
+            cloud_cover_lw=jnp.zeros_like(cos_sza))
+        if config.do_lw_derivatives:
+            flux_kw["lw_derivatives"] = lw.lw_derivatives
+        if config.do_save_spectral_flux:
+            flux_kw["lw_up_band"] = indexed_sum_g(
+                lw.flux_up_g, tables.band_from_g_lw, config.n_bands_lw)
+            flux_kw["lw_dn_band"] = indexed_sum_g(
+                lw.flux_dn_g, tables.band_from_g_lw, config.n_bands_lw)
+            flux_kw["lw_up_clear_band"] = flux_kw["lw_up_band"]
+            flux_kw["lw_dn_clear_band"] = flux_kw["lw_dn_band"]
+        if config.do_canopy_fluxes_lw:
+            lw_dn_surf_g = lw.flux_dn_g[:, -1, :]
+            if config.use_canopy_full_spectrum_lw:
+                flux_kw["lw_dn_surf_canopy"] = lw_dn_surf_g
+            elif config.do_nearest_spectral_lw_emiss:
+                idx = jnp.asarray(tables.i_emiss_from_band_lw)[
+                    jnp.asarray(tables.band_from_g_lw)]
+                flux_kw["lw_dn_surf_canopy"] = indexed_sum_g(
+                    lw_dn_surf_g, idx, config.n_canopy_bands_lw)
+            else:
+                lw_dn_band = indexed_sum_g(
+                    lw_dn_surf_g, tables.band_from_g_lw,
+                    config.n_bands_lw)
+                w = jnp.asarray(tables.lw_emiss_weights)
+                flux_kw["lw_dn_surf_canopy"] = lw_dn_band @ w.T
+
+    if config.do_sw:
+        if config.sw_solver == Solver.CLOUDLESS:
+            sw = cloudless.solver_cloudless_sw(
+                go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw),
+                go.incoming_sw, cos_sza,
+                sw_albedo_diffuse_g, sw_albedo_direct_g,
+                do_sw_delta_scaling_with_gases=(
+                    config.do_sw_delta_scaling_with_gases))
+        else:
+            raise NotImplementedError(
+                f"SW solver {config.sw_solver} not yet implemented")
+
+        flux_kw.update(
+            sw_up=sw.flux_up,
+            sw_dn=sw.flux_dn_diffuse + sw.flux_dn_direct,
+            sw_dn_direct=sw.flux_dn_direct,
+            cloud_cover_sw=jnp.zeros_like(cos_sza))
+        flux_kw.update(
+            sw_up_clear=flux_kw["sw_up"], sw_dn_clear=flux_kw["sw_dn"],
+            sw_dn_direct_clear=flux_kw["sw_dn_direct"])
+
+        sw_dn_diffuse_surf_g = sw.flux_dn_diffuse_g[:, -1, :]
+        sw_dn_direct_surf_g = sw.flux_dn_direct_g[:, -1, :]
+        if config.do_surface_sw_spectral_flux:
+            dir_band = indexed_sum_g(sw_dn_direct_surf_g,
+                                     tables.band_from_g_sw,
+                                     config.n_bands_sw)
+            diff_band = indexed_sum_g(sw_dn_diffuse_surf_g,
+                                      tables.band_from_g_sw,
+                                      config.n_bands_sw)
+            flux_kw["sw_dn_direct_surf_band"] = dir_band
+            flux_kw["sw_dn_surf_band"] = dir_band + diff_band
+            flux_kw["sw_dn_surf_clear_band"] = flux_kw["sw_dn_surf_band"]
+            flux_kw["sw_dn_direct_surf_clear_band"] = dir_band
+        if config.do_save_spectral_flux:
+            flux_kw["sw_up_band"] = indexed_sum_g(
+                sw.flux_up_g, tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_dn_band"] = (
+                indexed_sum_g(sw.flux_dn_diffuse_g, tables.band_from_g_sw,
+                              config.n_bands_sw)
+                + indexed_sum_g(sw.flux_dn_direct_g,
+                                tables.band_from_g_sw, config.n_bands_sw))
+            flux_kw["sw_dn_direct_band"] = indexed_sum_g(
+                sw.flux_dn_direct_g, tables.band_from_g_sw,
+                config.n_bands_sw)
+            flux_kw["sw_up_clear_band"] = flux_kw["sw_up_band"]
+            flux_kw["sw_dn_clear_band"] = flux_kw["sw_dn_band"]
+            flux_kw["sw_dn_direct_clear_band"] = \
+                flux_kw["sw_dn_direct_band"]
+        if config.do_canopy_fluxes_sw:
+            if config.use_canopy_full_spectrum_sw:
+                flux_kw["sw_dn_diffuse_surf_canopy"] = sw_dn_diffuse_surf_g
+                flux_kw["sw_dn_direct_surf_canopy"] = sw_dn_direct_surf_g
+            elif config.do_nearest_spectral_sw_albedo:
+                idx = jnp.asarray(tables.i_albedo_from_band_sw)[
+                    jnp.asarray(tables.band_from_g_sw)]
+                flux_kw["sw_dn_diffuse_surf_canopy"] = indexed_sum_g(
+                    sw_dn_diffuse_surf_g, idx, config.n_canopy_bands_sw)
+                flux_kw["sw_dn_direct_surf_canopy"] = indexed_sum_g(
+                    sw_dn_direct_surf_g, idx, config.n_canopy_bands_sw)
+            else:
+                # weights-based canopy mapping (radiation_flux.F90:498-518)
+                dir_band = indexed_sum_g(sw_dn_direct_surf_g,
+                                         tables.band_from_g_sw,
+                                         config.n_bands_sw)
+                tot_band = dir_band + indexed_sum_g(
+                    sw_dn_diffuse_surf_g, tables.band_from_g_sw,
+                    config.n_bands_sw)
+                w = jnp.asarray(tables.sw_albedo_weights)  # (nalb, nband)
+                canopy_dir = dir_band @ w.T
+                canopy_tot = tot_band @ w.T
+                flux_kw["sw_dn_direct_surf_canopy"] = canopy_dir
+                flux_kw["sw_dn_diffuse_surf_canopy"] = (canopy_tot
+                                                       - canopy_dir)
+
+    return Flux(**flux_kw)

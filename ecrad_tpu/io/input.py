@@ -91,7 +91,7 @@ DECORR_LENGTH_DEFAULT = 2000.0  # m (ecrad_driver_read_input.F90:68)
 class RadiationInput:
     """Everything read from one input file, as numpy arrays."""
     thermodynamics: Thermodynamics
-    gas_vmr: np.ndarray                # (ncol, nlev, NUM_GASES)
+    gas_mmr: np.ndarray                # (ncol, nlev, NUM_GASES) mass mixing ratio
     cloud_mixing_ratio: np.ndarray     # (ncol, nlev, 2)
     cloud_effective_radius: np.ndarray
     cloud_fraction: np.ndarray
@@ -277,25 +277,34 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
             raw = f.get("aerosol_mmr", dtype)            # (col, type, lev)
             aerosol_mmr = np.moveaxis(raw, 1, 2)         # → (col, lev, type)
 
-        # --- gases: all converted to VMR here
-        gas_vmr = np.zeros((ncol, nlev, constants.NUM_GASES))
+        # --- gases: stored as MASS mixing ratios, matching the reference
+        # flow (driver reads native units; gas%set_units(IMassMixingRatio)
+        # converts VMR inputs with radiation_gas_constants.F90 molar
+        # masses before the RRTMG backend)
+        gas_mmr = np.zeros((ncol, nlev, constants.NUM_GASES))
 
-        def put(name, vmr):
-            gas_vmr[:, :, constants.GAS_INDEX[name]] = vmr
+        def put(name, mmr):
+            gas_mmr[:, :, constants.GAS_INDEX[name]] = mmr
+
+        def vmr_to_mmr(name, vmr):
+            return vmr * (constants.MOLAR_MASS[name]
+                          / constants.MOLAR_MASS_DRY_AIR)
 
         # Water vapour: "q" (specific humidity, treated as MMR) or h2o_mmr
         # or h2o_vmr (ecrad_driver_read_input.F90:566-575)
         if f.exists("q"):
-            put("h2o", Gas.mmr_to_vmr("h2o", f.get("q", dtype)))
+            put("h2o", f.get("q", dtype))
         elif f.exists("h2o_mmr"):
-            put("h2o", Gas.mmr_to_vmr("h2o", f.get("h2o_mmr", dtype)))
+            put("h2o", f.get("h2o_mmr", dtype))
         elif f.exists("h2o" + dc.vmr_suffix_str):
-            put("h2o", f.get("h2o" + dc.vmr_suffix_str, dtype))
+            put("h2o", vmr_to_mmr("h2o", f.get("h2o" + dc.vmr_suffix_str,
+                                               dtype)))
 
         if f.exists("o3_mmr"):
-            put("o3", Gas.mmr_to_vmr("o3", f.get("o3_mmr", dtype)))
+            put("o3", f.get("o3_mmr", dtype))
         elif f.exists("o3" + dc.vmr_suffix_str):
-            put("o3", f.get("o3" + dc.vmr_suffix_str, dtype))
+            put("o3", vmr_to_mmr("o3", f.get("o3" + dc.vmr_suffix_str,
+                                             dtype)))
 
         for gname in constants.GAS_NAMES:
             if gname in ("h2o", "o3"):
@@ -304,25 +313,22 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
             if f.exists(var):
                 data = f.get(var, dtype)
                 if data.ndim == 0:
-                    put(gname, np.full((ncol, nlev), float(data)))
+                    data = np.full((ncol, nlev), float(data))
                 elif data.ndim == 1:
                     # (level,) profile replicated over columns, or (col,)
                     if data.shape[0] == nlev:
-                        put(gname, np.broadcast_to(data[None, :],
-                                                   (ncol, nlev)))
+                        data = np.broadcast_to(data[None, :], (ncol, nlev))
                     else:
-                        put(gname, np.broadcast_to(data[:, None],
-                                                   (ncol, nlev)))
-                else:
-                    put(gname, data)
+                        data = np.broadcast_to(data[:, None], (ncol, nlev))
+                put(gname, vmr_to_mmr(gname, data))
 
         if dc.gas_scaling:
             for gname, scale in dc.gas_scaling.items():
-                gas_vmr[:, :, constants.GAS_INDEX[gname]] *= scale
+                gas_mmr[:, :, constants.GAS_INDEX[gname]] *= scale
 
     return RadiationInput(
         thermodynamics=thermo,
-        gas_vmr=gas_vmr,
+        gas_mmr=gas_mmr,
         cloud_mixing_ratio=q,
         cloud_effective_radius=re,
         cloud_fraction=cloud_fraction,

@@ -98,16 +98,20 @@ class _Band:
     def chi_ref(self, species_1b):
         """chi_mls(species, jp+1) gathered per (col,lev) (1-based species,
         1-based jp+1 == 0-based jp+1 index since jp is 0-based here)."""
-        return self.chi[species_1b - 1][self.c.jp + 1]
+        return jnp.asarray(self.chi[species_1b - 1])[self.c.jp + 1]
 
     def chi_const(self, species_1b, jp_1b):
         return float(self.chi[species_1b - 1][jp_1b - 1])
 
     def self_for(self):
+        # LW continuum factors are scaled by colh2o
+        # (rrtm_setcoef_140gp.F90:249-251)
         c = self.c
-        tself = ri.self_continuum(self.t["selfref"], c.selffac, c.selffrac,
+        tself = ri.self_continuum(self.t["selfref"],
+                                  c.selffac * c.colh2o, c.selffrac,
                                   c.indself)
-        tfor = ri.foreign_continuum(self.t["forref"], c.forfac, c.forfrac,
+        tfor = ri.foreign_continuum(self.t["forref"],
+                                    c.forfac * c.colh2o, c.forfrac,
                                     c.indfor)
         return tself, tfor
 

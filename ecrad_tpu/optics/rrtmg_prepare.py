@@ -208,8 +208,9 @@ def prepare_columns(pressure_hl, pressure_fl, temperature_fl,
     fac11 = fp * ft1
     fac01 = fp * (1.0 - ft1)
 
-    selffac = colh2o * selffac
-    forfac = colh2o * forfac
+    # NB: selffac/forfac are stored UNSCALED (srtm_setcoef.F90 convention);
+    # the LW path multiplies by colh2o (rrtm_setcoef_140gp.F90:249-251
+    # does so in place), the SW taumols multiply explicitly.
 
     return GasColumns(
         pavel=pavel, tavel=tavel, coldry=coldry, colbrd=colbrd,

@@ -167,11 +167,19 @@ class Namespace:
                         for t in NUM_RE.findall(inner)]
                 self._assign(name, subs, np.array(vals))
             else:
-                toks = NUM_RE.findall(rhs)
-                if len(toks) == 1 and re.fullmatch(
-                        NUM_RE, rhs.replace(" ", "")):
-                    self._assign(name, subs, np.array(parse_number(toks[0])))
-                # else: RHS is an expression/name-ref → skip (handled
+                rhs_ns = rhs.replace(" ", "")
+                if re.fullmatch(NUM_RE, rhs_ns):
+                    self._assign(name, subs, np.array(parse_number(rhs_ns)))
+                else:
+                    # simple scalar quotient (e.g. srtm_kgb27.F90:60
+                    # SCALEKUR = 50.15_JPRB/48.37_JPRB)
+                    m2 = re.fullmatch(
+                        rf"({NUM_RE.pattern})/({NUM_RE.pattern})", rhs_ns)
+                    if m2:
+                        val = parse_number(m2.group(1)) \
+                            / parse_number(m2.group(2))
+                        self._assign(name, subs, np.array(val))
+                # other expression/name-ref RHS → skip (handled
                 # explicitly by the caller where needed)
 
     def _assign(self, name, subs, values):
