@@ -16,8 +16,9 @@ import numpy as np
 from ecrad_tpu import constants
 from ecrad_tpu.config import Config, GasModel, Solver
 from ecrad_tpu.containers import Flux
+from ecrad_tpu.optics import cloud as cloud_optics_mod
 from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
-from ecrad_tpu.solvers import cloudless
+from ecrad_tpu.solvers import cloudless, mcica
 
 
 class Tables(NamedTuple):
@@ -34,9 +35,10 @@ class Tables(NamedTuple):
     pdf_sampler: Optional[Dict] = None               # McICA PDF LUT
 
 
-def setup_radiation(config: Config):
+def setup_radiation(config: Config, data_dir: str = None):
     """Host-side setup (radiation_interface.F90:37-156).
 
+    data_dir overrides config.directory_name for locating optics files.
     Returns (consolidated config, Tables).
     """
     if config.gas_model_sw != GasModel.RRTMG or \
@@ -104,8 +106,33 @@ def setup_radiation(config: Config):
                            and config.lw_solver == Solver.CLOUDLESS)
     kw["is_consolidated"] = True
 
+    # --- cloud optics + McICA PDF LUT
+    cloud_tables = None
+    pdf_tables = None
+    if kw["do_clouds"]:
+        ddir = data_dir or config.directory_name
+        if config.use_general_cloud_optics:
+            raise NotImplementedError(
+                "general cloud optics arrives with the ecCKD backend")
+        cloud_tables = cloud_optics_mod.setup_cloud_optics(config, ddir)
+        if Solver.MCICA in (config.sw_solver, config.lw_solver):
+            import os as _os
+
+            from ecrad_tpu.config import PdfShape
+            from ecrad_tpu.io.netcdf import NcFile
+            if config.cloud_pdf_override_file_name:
+                pdf_file = config.cloud_pdf_override_file_name
+            elif config.cloud_pdf_shape == PdfShape.GAMMA:
+                pdf_file = "mcica_gamma.nc"
+            else:
+                pdf_file = "mcica_lognormal.nc"
+            with NcFile(_os.path.join(ddir, pdf_file)) as f:
+                pdf_tables = {"fsd": f.get("fsd"), "val": f.get("x").T}
+
     new_config = config.replace(**kw)
     tables = Tables(
+        cloud=cloud_tables,
+        pdf_sampler=pdf_tables,
         gas=gas_tables,
         sw_albedo_weights=sw_albedo_weights,
         lw_emiss_weights=lw_emiss_weights,
@@ -186,6 +213,19 @@ def radiation(config: Config, tables: Tables, *,
         min_gas_od_lw=config.min_gas_od_lw,
         min_gas_od_sw=config.min_gas_od_sw)
 
+    # --- cloud optics (radiation_interface.F90:357-383)
+    do_clouds = config.do_clouds and cloud is not None
+    if do_clouds:
+        # crop_cloud_fraction (radiation_cloud.F90)
+        total_water = cloud["q_liq"] + cloud["q_ice"]
+        keep = ((cloud["fraction"] >= config.cloud_fraction_threshold)
+                & (total_water >= config.cloud_mixing_ratio_threshold))
+        frac = jnp.where(keep, cloud["fraction"], 0.0)
+        cl = cloud_optics_mod.cloud_optics(
+            config, tables.cloud, pressure_hl, temperature_hl,
+            frac, cloud["q_liq"], cloud["q_ice"],
+            cloud["re_liq"], cloud["re_ice"])
+
     flux_kw = {}
 
     if config.do_lw:
@@ -193,31 +233,57 @@ def radiation(config: Config, tables: Tables, *,
         ssa_lw = jnp.zeros_like(go.od_lw)
         g_lw = jnp.zeros_like(go.od_lw)
 
-        if config.lw_solver == Solver.CLOUDLESS:
+        if config.lw_solver == Solver.CLOUDLESS or not do_clouds:
             lw = cloudless.solver_cloudless_lw(
                 go.od_lw, ssa_lw, g_lw, go.planck_hl, lw_emission,
                 lw_albedo_g,
+                do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
+                do_lw_derivatives=config.do_lw_derivatives)
+        elif config.lw_solver == Solver.MCICA:
+            lw = mcica.solver_mcica_lw(
+                go.od_lw, ssa_lw, g_lw,
+                cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
+                tables.band_from_g_lw,
+                cloud["od_scaling_lw"], cloud["total_cloud_cover_lw"],
+                frac, go.planck_hl, lw_emission, lw_albedo_g,
+                cloud_fraction_threshold=config.cloud_fraction_threshold,
+                do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives)
         else:
             raise NotImplementedError(
                 f"LW solver {config.lw_solver} not yet implemented")
 
-        flux_kw.update(
-            lw_up=lw.flux_up, lw_dn=lw.flux_dn,
-            lw_up_clear=lw.flux_up, lw_dn_clear=lw.flux_dn,
-            cloud_cover_lw=jnp.zeros_like(cos_sza))
+        is_mcica_lw = (config.lw_solver == Solver.MCICA and do_clouds)
+        if is_mcica_lw:
+            flux_kw.update(
+                lw_up=lw.flux_up, lw_dn=lw.flux_dn,
+                lw_up_clear=lw.flux_up_clear,
+                lw_dn_clear=lw.flux_dn_clear,
+                cloud_cover_lw=lw.cloud_cover)
+            lw_up_g, lw_dn_g = lw.flux_up_g, lw.flux_dn_g
+            lw_up_clear_g, lw_dn_clear_g = (lw.flux_up_clear_g,
+                                            lw.flux_dn_clear_g)
+        else:
+            flux_kw.update(
+                lw_up=lw.flux_up, lw_dn=lw.flux_dn,
+                lw_up_clear=lw.flux_up, lw_dn_clear=lw.flux_dn,
+                cloud_cover_lw=jnp.zeros_like(cos_sza))
+            lw_up_g, lw_dn_g = lw.flux_up_g, lw.flux_dn_g
+            lw_up_clear_g, lw_dn_clear_g = lw.flux_up_g, lw.flux_dn_g
         if config.do_lw_derivatives:
             flux_kw["lw_derivatives"] = lw.lw_derivatives
         if config.do_save_spectral_flux:
             flux_kw["lw_up_band"] = indexed_sum_g(
-                lw.flux_up_g, tables.band_from_g_lw, config.n_bands_lw)
+                lw_up_g, tables.band_from_g_lw, config.n_bands_lw)
             flux_kw["lw_dn_band"] = indexed_sum_g(
-                lw.flux_dn_g, tables.band_from_g_lw, config.n_bands_lw)
-            flux_kw["lw_up_clear_band"] = flux_kw["lw_up_band"]
-            flux_kw["lw_dn_clear_band"] = flux_kw["lw_dn_band"]
+                lw_dn_g, tables.band_from_g_lw, config.n_bands_lw)
+            flux_kw["lw_up_clear_band"] = indexed_sum_g(
+                lw_up_clear_g, tables.band_from_g_lw, config.n_bands_lw)
+            flux_kw["lw_dn_clear_band"] = indexed_sum_g(
+                lw_dn_clear_g, tables.band_from_g_lw, config.n_bands_lw)
         if config.do_canopy_fluxes_lw:
-            lw_dn_surf_g = lw.flux_dn_g[:, -1, :]
+            lw_dn_surf_g = lw_dn_g[:, -1, :]
             if config.use_canopy_full_spectrum_lw:
                 flux_kw["lw_dn_surf_canopy"] = lw_dn_surf_g
             elif config.do_nearest_spectral_lw_emiss:
@@ -233,28 +299,63 @@ def radiation(config: Config, tables: Tables, *,
                 flux_kw["lw_dn_surf_canopy"] = lw_dn_band @ w.T
 
     if config.do_sw:
-        if config.sw_solver == Solver.CLOUDLESS:
+        if config.sw_solver == Solver.CLOUDLESS or not do_clouds:
             sw = cloudless.solver_cloudless_sw(
                 go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw),
                 go.incoming_sw, cos_sza,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
                 do_sw_delta_scaling_with_gases=(
                     config.do_sw_delta_scaling_with_gases))
+            sw_up = sw.flux_up
+            sw_dn = sw.flux_dn_diffuse + sw.flux_dn_direct
+            sw_dn_direct = sw.flux_dn_direct
+            sw_up_clear, sw_dn_clear = sw_up, sw_dn
+            sw_dn_direct_clear = sw_dn_direct
+            cloud_cover_sw = jnp.zeros_like(cos_sza)
+            sw_dn_diffuse_surf_g = sw.flux_dn_diffuse_g[:, -1, :]
+            sw_dn_direct_surf_g = sw.flux_dn_direct_g[:, -1, :]
+            sw_dn_diffuse_surf_clear_g = sw_dn_diffuse_surf_g
+            sw_dn_direct_surf_clear_g = sw_dn_direct_surf_g
+            sw_up_g = sw.flux_up_g
+            sw_dn_g = sw.flux_dn_diffuse_g + sw.flux_dn_direct_g
+            sw_dn_direct_g = sw.flux_dn_direct_g
+            sw_up_clear_g, sw_dn_clear_g = sw_up_g, sw_dn_g
+            sw_dn_direct_clear_g = sw_dn_direct_g
+        elif config.sw_solver == Solver.MCICA:
+            sw = mcica.solver_mcica_sw(
+                go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw),
+                cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
+                tables.band_from_g_sw,
+                cloud["od_scaling_sw"], cloud["total_cloud_cover_sw"],
+                frac, go.incoming_sw, cos_sza,
+                sw_albedo_diffuse_g, sw_albedo_direct_g,
+                cloud_fraction_threshold=config.cloud_fraction_threshold,
+                do_sw_delta_scaling_with_gases=(
+                    config.do_sw_delta_scaling_with_gases))
+            sw_up, sw_dn = sw.flux_up, sw.flux_dn
+            sw_dn_direct = sw.flux_dn_direct
+            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
+            sw_dn_direct_clear = sw.flux_dn_direct_clear
+            cloud_cover_sw = sw.cloud_cover
+            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
+            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
+            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
+            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
+            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
+            sw_dn_direct_g = sw.flux_dn_direct_g
+            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
+                                            sw.flux_dn_clear_g)
+            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
         else:
             raise NotImplementedError(
                 f"SW solver {config.sw_solver} not yet implemented")
 
         flux_kw.update(
-            sw_up=sw.flux_up,
-            sw_dn=sw.flux_dn_diffuse + sw.flux_dn_direct,
-            sw_dn_direct=sw.flux_dn_direct,
-            cloud_cover_sw=jnp.zeros_like(cos_sza))
-        flux_kw.update(
-            sw_up_clear=flux_kw["sw_up"], sw_dn_clear=flux_kw["sw_dn"],
-            sw_dn_direct_clear=flux_kw["sw_dn_direct"])
+            sw_up=sw_up, sw_dn=sw_dn, sw_dn_direct=sw_dn_direct,
+            sw_up_clear=sw_up_clear, sw_dn_clear=sw_dn_clear,
+            sw_dn_direct_clear=sw_dn_direct_clear,
+            cloud_cover_sw=cloud_cover_sw)
 
-        sw_dn_diffuse_surf_g = sw.flux_dn_diffuse_g[:, -1, :]
-        sw_dn_direct_surf_g = sw.flux_dn_direct_g[:, -1, :]
         if config.do_surface_sw_spectral_flux:
             dir_band = indexed_sum_g(sw_dn_direct_surf_g,
                                      tables.band_from_g_sw,
@@ -264,23 +365,29 @@ def radiation(config: Config, tables: Tables, *,
                                       config.n_bands_sw)
             flux_kw["sw_dn_direct_surf_band"] = dir_band
             flux_kw["sw_dn_surf_band"] = dir_band + diff_band
-            flux_kw["sw_dn_surf_clear_band"] = flux_kw["sw_dn_surf_band"]
-            flux_kw["sw_dn_direct_surf_clear_band"] = dir_band
+            dir_clear_band = indexed_sum_g(sw_dn_direct_surf_clear_g,
+                                           tables.band_from_g_sw,
+                                           config.n_bands_sw)
+            diff_clear_band = indexed_sum_g(sw_dn_diffuse_surf_clear_g,
+                                            tables.band_from_g_sw,
+                                            config.n_bands_sw)
+            flux_kw["sw_dn_surf_clear_band"] = (dir_clear_band
+                                               + diff_clear_band)
+            flux_kw["sw_dn_direct_surf_clear_band"] = dir_clear_band
         if config.do_save_spectral_flux:
             flux_kw["sw_up_band"] = indexed_sum_g(
-                sw.flux_up_g, tables.band_from_g_sw, config.n_bands_sw)
-            flux_kw["sw_dn_band"] = (
-                indexed_sum_g(sw.flux_dn_diffuse_g, tables.band_from_g_sw,
-                              config.n_bands_sw)
-                + indexed_sum_g(sw.flux_dn_direct_g,
-                                tables.band_from_g_sw, config.n_bands_sw))
+                sw_up_g, tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_dn_band"] = indexed_sum_g(
+                sw_dn_g, tables.band_from_g_sw, config.n_bands_sw)
             flux_kw["sw_dn_direct_band"] = indexed_sum_g(
-                sw.flux_dn_direct_g, tables.band_from_g_sw,
+                sw_dn_direct_g, tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_up_clear_band"] = indexed_sum_g(
+                sw_up_clear_g, tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_dn_clear_band"] = indexed_sum_g(
+                sw_dn_clear_g, tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_dn_direct_clear_band"] = indexed_sum_g(
+                sw_dn_direct_clear_g, tables.band_from_g_sw,
                 config.n_bands_sw)
-            flux_kw["sw_up_clear_band"] = flux_kw["sw_up_band"]
-            flux_kw["sw_dn_clear_band"] = flux_kw["sw_dn_band"]
-            flux_kw["sw_dn_direct_clear_band"] = \
-                flux_kw["sw_dn_direct_band"]
         if config.do_canopy_fluxes_sw:
             if config.use_canopy_full_spectrum_sw:
                 flux_kw["sw_dn_diffuse_surf_canopy"] = sw_dn_diffuse_surf_g

@@ -30,6 +30,56 @@ SW_VARS = ("flux_up_sw", "flux_dn_sw", "flux_dn_direct_sw",
            "spectral_flux_dn_direct_sw_surf_clear")
 
 
+def make_cloud_inputs(config, inp):
+    """Build the cloud input dict, including bit-exact McICA samples
+    (host-side generator, solvers/cloud_generator_exact.py)."""
+    import jax.numpy as jnp
+
+    from ecrad_tpu.config import Solver
+    from ecrad_tpu.solvers import cloud_generator_exact as cge
+
+    # crop_cloud_fraction, as radiation() will apply it, so the
+    # generator sees the same fraction field
+    frac = np.asarray(inp.cloud_fraction)
+    total_water = inp.cloud_mixing_ratio.sum(axis=-1)
+    frac = np.where((frac >= config.cloud_fraction_threshold)
+                    & (total_water >= config.cloud_mixing_ratio_threshold),
+                    frac, 0.0)
+    cloud = {
+        "fraction": jnp.asarray(inp.cloud_fraction),
+        "q_liq": jnp.asarray(inp.cloud_mixing_ratio[:, :, 0]),
+        "q_ice": jnp.asarray(inp.cloud_mixing_ratio[:, :, 1]),
+        "re_liq": jnp.asarray(inp.cloud_effective_radius[:, :, 0]),
+        "re_ice": jnp.asarray(inp.cloud_effective_radius[:, :, 1]),
+    }
+    if Solver.MCICA in (config.sw_solver, config.lw_solver):
+        from ecrad_tpu.io.netcdf import NcFile
+        from ecrad_tpu.config import PdfShape
+        pdf_file = ("mcica_gamma.nc"
+                    if config.cloud_pdf_shape == PdfShape.GAMMA
+                    else "mcica_lognormal.nc")
+        with NcFile(os.path.join(REFERENCE_DIR, "data", pdf_file)) as f:
+            sampler = cge.PdfSampler(f.get("fsd"), f.get("x").T)
+        common = dict(
+            i_overlap_scheme=int(config.overlap_scheme),
+            frac_threshold=config.cloud_fraction_threshold,
+            frac=frac, overlap_param=inp.overlap_param,
+            decorrelation_scaling=config.cloud_inhom_decorr_scaling,
+            fractional_std=inp.fractional_std, pdf_sampler=sampler,
+            use_beta_overlap=config.use_beta_overlap)
+        if config.sw_solver == Solver.MCICA:
+            od_s, tcc = cge.cloud_generator_all_columns(
+                ng=config.n_g_sw, iseed=inp.iseed, **common)
+            cloud["od_scaling_sw"] = jnp.asarray(od_s)
+            cloud["total_cloud_cover_sw"] = jnp.asarray(tcc)
+        if config.lw_solver == Solver.MCICA:
+            od_s, tcc = cge.cloud_generator_all_columns(
+                ng=config.n_g_lw, iseed=inp.iseed + 997, **common)
+            cloud["od_scaling_lw"] = jnp.asarray(od_s)
+            cloud["total_cloud_cover_lw"] = jnp.asarray(tcc)
+    return cloud
+
+
 def run_config(config, driver_config=None, input_path=INPUT_FILE,
                extra_inputs=None):
     """Run the radiation scheme for a Config; returns (flux, inp)."""
@@ -40,10 +90,16 @@ def run_config(config, driver_config=None, input_path=INPUT_FILE,
     from ecrad_tpu.io.input import DriverConfig, read_input
 
     dc = driver_config or DriverConfig.from_namelist(CONFIG_NAM)
-    config, tables = setup_radiation(config)
+    config, tables = setup_radiation(
+        config, data_dir=os.path.join(REFERENCE_DIR, "data"))
     inp = read_input(input_path, dc)
 
+    cloud = None
+    if config.do_clouds:
+        cloud = make_cloud_inputs(config, inp)
+
     kwargs = dict(
+        cloud=cloud,
         pressure_hl=jnp.asarray(inp.thermodynamics.pressure_hl),
         temperature_hl=jnp.asarray(inp.thermodynamics.temperature_hl),
         gas_mmr=jnp.asarray(inp.gas_mmr),
