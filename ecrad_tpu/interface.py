@@ -16,6 +16,7 @@ import numpy as np
 from ecrad_tpu import constants
 from ecrad_tpu.config import Config, GasModel, Solver
 from ecrad_tpu.containers import Flux
+from ecrad_tpu.optics import aerosol as aerosol_mod
 from ecrad_tpu.optics import cloud as cloud_optics_mod
 from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
 from ecrad_tpu.solvers import cloudless, mcica
@@ -129,10 +130,17 @@ def setup_radiation(config: Config, data_dir: str = None):
             with NcFile(_os.path.join(ddir, pdf_file)) as f:
                 pdf_tables = {"fsd": f.get("fsd"), "val": f.get("x").T}
 
+    aerosol_tables = None
+    if config.use_aerosols and config.n_aerosol_types > 0:
+        ddir = data_dir or config.directory_name
+        aerosol_tables = aerosol_mod.setup_aerosol_optics(
+            config, ddir, wn1_sw, wn2_sw, wn1_lw, wn2_lw)
+
     new_config = config.replace(**kw)
     tables = Tables(
         cloud=cloud_tables,
         pdf_sampler=pdf_tables,
+        aerosol=aerosol_tables,
         gas=gas_tables,
         sw_albedo_weights=sw_albedo_weights,
         lw_emiss_weights=lw_emiss_weights,
@@ -213,6 +221,30 @@ def radiation(config: Config, tables: Tables, *,
         min_gas_od_lw=config.min_gas_od_lw,
         min_gas_od_sw=config.min_gas_od_sw)
 
+    # --- gas + aerosol optical properties
+    od_lw, planck_hl = go.od_lw, go.planck_hl
+    od_sw, ssa_sw = go.od_sw, go.ssa_sw
+    if config.do_lw:
+        ssa_lw = jnp.zeros_like(od_lw)
+        g_lw_arr = jnp.zeros_like(od_lw)
+    if config.do_sw:
+        g_sw_arr = jnp.zeros_like(od_sw)
+
+    if config.use_aerosols and aerosol is not None \
+            and tables.aerosol is not None:
+        # RH-dependent aerosol merge (radiation_aerosol_optics.F90:487+)
+        p_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
+        t_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
+        h2o_mmr = gas_mmr[:, :, constants.GAS_INDEX["h2o"]]
+        rh = h2o_mmr / aerosol_mod.h2o_sat_liq(p_fl, t_fl)
+        aer = aerosol_mod.aerosol_band_properties(
+            config, tables.aerosol, pressure_hl,
+            aerosol["mixing_ratio"], rh)
+        od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr = \
+            aerosol_mod.add_aerosol_optics(
+                config, aer, tables.band_from_g_sw, tables.band_from_g_lw,
+                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr)
+
     # --- cloud optics (radiation_interface.F90:357-383)
     do_clouds = config.do_clouds and cloud is not None
     if do_clouds:
@@ -230,22 +262,20 @@ def radiation(config: Config, tables: Tables, *,
 
     if config.do_lw:
         lw_emission = go.lw_emission * (1.0 - lw_albedo_g)
-        ssa_lw = jnp.zeros_like(go.od_lw)
-        g_lw = jnp.zeros_like(go.od_lw)
 
         if config.lw_solver == Solver.CLOUDLESS or not do_clouds:
             lw = cloudless.solver_cloudless_lw(
-                go.od_lw, ssa_lw, g_lw, go.planck_hl, lw_emission,
+                od_lw, ssa_lw, g_lw_arr, planck_hl, lw_emission,
                 lw_albedo_g,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives)
         elif config.lw_solver == Solver.MCICA:
             lw = mcica.solver_mcica_lw(
-                go.od_lw, ssa_lw, g_lw,
+                od_lw, ssa_lw, g_lw_arr,
                 cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
                 tables.band_from_g_lw,
                 cloud["od_scaling_lw"], cloud["total_cloud_cover_lw"],
-                frac, go.planck_hl, lw_emission, lw_albedo_g,
+                frac, planck_hl, lw_emission, lw_albedo_g,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
@@ -301,7 +331,7 @@ def radiation(config: Config, tables: Tables, *,
     if config.do_sw:
         if config.sw_solver == Solver.CLOUDLESS or not do_clouds:
             sw = cloudless.solver_cloudless_sw(
-                go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw),
+                od_sw, ssa_sw, g_sw_arr,
                 go.incoming_sw, cos_sza,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
                 do_sw_delta_scaling_with_gases=(
@@ -323,7 +353,7 @@ def radiation(config: Config, tables: Tables, *,
             sw_dn_direct_clear_g = sw_dn_direct_g
         elif config.sw_solver == Solver.MCICA:
             sw = mcica.solver_mcica_sw(
-                go.od_sw, go.ssa_sw, jnp.zeros_like(go.od_sw),
+                od_sw, ssa_sw, g_sw_arr,
                 cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
                 tables.band_from_g_sw,
                 cloud["od_scaling_sw"], cloud["total_cloud_cover_sw"],

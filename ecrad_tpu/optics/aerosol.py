@@ -1,0 +1,271 @@
+"""Aerosol optical properties.
+
+Reference: radiation/radiation_aerosol_optics.F90 — general aerosol optics
+setup (high-spectral-resolution file averaged to bands at setup, L96-215)
+and the run-time RH-dependent merge into the gas optics arrays
+(add_aerosol_optics L487-780); spectral averaging weights from
+radiation_spectral_definition.F90:222-321 (calc_mapping).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ecrad_tpu.config import Config
+from ecrad_tpu.constants import ACCEL_GRAVITY
+from ecrad_tpu.optics import spectral
+
+
+def calc_mapping_bands(wavenumber1_band, wavenumber2_band, ref_temp,
+                       wavenumber):
+    """Planck-weighted mapping (nband, nwn) from high-res wavenumber grid
+    to bands (radiation_spectral_definition.F90:248-321, use_bands=True)."""
+    wavenumber = np.asarray(wavenumber, np.float64)
+    nwn = wavenumber.size
+    nband = len(wavenumber1_band)
+    planck = spectral.planck_function_wavenumber(wavenumber, ref_temp)
+    mapping = np.zeros((nband, nwn))
+    for jb in range(nband):
+        w1b, w2b = wavenumber1_band[jb], wavenumber2_band[jb]
+        weight = np.zeros(nwn)
+        for jw in range(nwn):
+            if w1b <= wavenumber[jw] <= w2b:
+                wn1 = w1b if jw == 0 else max(
+                    w1b, 0.5 * (wavenumber[jw - 1] + wavenumber[jw]))
+                wn2 = w2b if jw == nwn - 1 else min(
+                    w2b, 0.5 * (wavenumber[jw] + wavenumber[jw + 1]))
+                weight[jw] = (wn2 - wn1) * planck[jw]
+        if weight.sum() <= 0.0:
+            # band contains no sample points: interpolate/nearest
+            if wavenumber[0] >= w2b:
+                weight[0] = 1.0
+            elif wavenumber[-1] <= w1b:
+                weight[-1] = 1.0
+            else:
+                iwav = 1
+                while wavenumber[iwav] < w2b:
+                    iwav += 1
+                mid = 0.5 * (w1b + w2b)
+                weight[iwav - 1] = planck[iwav - 1] * (wavenumber[iwav]
+                                                      - mid)
+                weight[iwav] = planck[iwav] * (mid - wavenumber[iwav - 1])
+        mapping[jb] = weight / weight.sum()
+    return mapping
+
+
+def setup_aerosol_optics(config: Config, data_dir: str,
+                         wn1_sw, wn2_sw, wn1_lw, wn2_lw) -> Dict:
+    """Load + spectrally average the aerosol optics file (host-side).
+
+    Currently implements the general (high-resolution) path used by the
+    49R1 configuration; returns band-wise LUTs + type classification.
+    """
+    from ecrad_tpu.io.netcdf import NcFile
+
+    if config.aerosol_optics_override_file_name:
+        fname = config.aerosol_optics_override_file_name
+        path = fname if fname.startswith("/") else os.path.join(data_dir,
+                                                                fname)
+    elif config.use_general_aerosol_optics:
+        path = os.path.join(data_dir, "aerosol_ifs_49R1_20230119.nc")
+    else:
+        path = os.path.join(data_dir,
+                            "aerosol_ifs_rrtm_46R1_with_NI_AM.nc")
+
+    out = {}
+    with NcFile(path) as f:
+        if not f.exists("wavenumber"):
+            raise NotImplementedError(
+                "legacy band-wise aerosol optics files not yet supported: "
+                + path)
+        wavenumber = f.get("wavenumber")
+        mass_ext_phobic = f.get("mass_ext_hydrophobic")     # (ntype, nwn)
+        ssa_phobic = f.get("ssa_hydrophobic")
+        g_phobic = f.get("asymmetry_hydrophobic")
+        use_philic = f.exists("mass_ext_hydrophilic")
+        if use_philic:
+            mass_ext_philic = f.get("mass_ext_hydrophilic")  # (nt,nrh,nwn)
+            ssa_philic = f.get("ssa_hydrophilic")
+            g_philic = f.get("asymmetry_hydrophilic")
+            rh_lower = f.get("relative_humidity1")
+
+    map_sw = calc_mapping_bands(wn1_sw, wn2_sw,
+                                spectral.SOLAR_REFERENCE_TEMPERATURE,
+                                wavenumber)
+    map_lw = calc_mapping_bands(wn1_lw, wn2_lw,
+                                spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
+                                wavenumber)
+
+    def average(mapping, mass_ext, ssa, g):
+        """Fortran: matmul(mapping(nband,nwn), X(nwn, ...)) — here the
+        numpy arrays are C-ordered (..., nwn), so contract the last axis
+        via einsum. Output (nband, ...)."""
+        me = np.einsum("bw,...w->b...", mapping, mass_ext)
+        ms = np.einsum("bw,...w->b...", mapping, mass_ext * ssa)
+        mg = np.einsum("bw,...w->b...", mapping, mass_ext * ssa * g)
+        ssa_b = ms / me
+        g_b = mg / (me * ssa_b)
+        return me, ssa_b, g_b
+
+    out["mass_ext_sw_phobic"], out["ssa_sw_phobic"], out["g_sw_phobic"] = \
+        average(map_sw, mass_ext_phobic, ssa_phobic, g_phobic)
+    out["mass_ext_lw_phobic"], out["ssa_lw_phobic"], out["g_lw_phobic"] = \
+        average(map_lw, mass_ext_phobic, ssa_phobic, g_phobic)
+    out["use_hydrophilic"] = use_philic
+    if use_philic:
+        (out["mass_ext_sw_philic"], out["ssa_sw_philic"],
+         out["g_sw_philic"]) = average(map_sw, mass_ext_philic,
+                                       ssa_philic, g_philic)
+        (out["mass_ext_lw_philic"], out["ssa_lw_philic"],
+         out["g_lw_philic"]) = average(map_lw, mass_ext_philic,
+                                       ssa_philic, g_philic)
+        out["rh_lower"] = rh_lower
+    # band-wise tables have shape (nband, ntype) or (nband, ntype, nrh)
+    # (philic stored as (nband, ntype, nrh) here — note the reference is
+    # (nband, nrh, ntype); we index accordingly at run time)
+    return out
+
+
+def h2o_sat_liq(pressure_fl, temperature_fl):
+    """Saturation MMR wrt liquid (radiation_thermodynamics.F90:145-153)."""
+    e_sat = 6.11e2 * jnp.exp(17.269 * (temperature_fl - 273.16)
+                             / (temperature_fl - 35.86))
+    return jnp.minimum(1.0, 0.622 * e_sat / pressure_fl)
+
+
+def calc_rh_index(rh, rh_lower):
+    """radiation_aerosol_optics_data.F90:640-664 → 0-based bin index."""
+    rh_lower = jnp.asarray(rh_lower)
+    # index of last bin whose lower bound is below rh (0-based)
+    idx = jnp.sum(rh[..., None] > rh_lower[1:], axis=-1)
+    return jnp.clip(idx, 0, rh_lower.shape[0] - 1)
+
+
+def aerosol_band_properties(config: Config, tables: Dict, pressure_hl,
+                            aerosol_mmr, rh):
+    """Per-band aerosol od / scat_od / scat_od*g
+    (radiation_aerosol_optics.F90:560-660).
+
+    aerosol_mmr: (ncol, nlev, ntype); rh: (ncol, nlev).
+    Returns dict od_sw/scat_sw/scatg_sw (ncol,nlev,nband_sw) + lw same.
+    """
+    factor = (pressure_hl[:, 1:] - pressure_hl[:, :-1]) / ACCEL_GRAVITY
+    irh = calc_rh_index(rh, tables["rh_lower"]) \
+        if tables["use_hydrophilic"] else None
+
+    nb_sw = tables["mass_ext_sw_phobic"].shape[0]
+    nb_lw = tables["mass_ext_lw_phobic"].shape[0]
+    shape_sw = factor.shape + (nb_sw,)
+    shape_lw = factor.shape + (nb_lw,)
+    od_sw = jnp.zeros(shape_sw, factor.dtype)
+    scat_sw = jnp.zeros(shape_sw, factor.dtype)
+    scatg_sw = jnp.zeros(shape_sw, factor.dtype)
+    od_lw = jnp.zeros(shape_lw, factor.dtype)
+    scat_lw = jnp.zeros(shape_lw, factor.dtype)
+    scatg_lw = jnp.zeros(shape_lw, factor.dtype)
+
+    for jtype, mapping in enumerate(config.i_aerosol_type_map):
+        if jtype >= aerosol_mmr.shape[-1] or mapping == 0:
+            continue
+        mr = factor * aerosol_mmr[:, :, jtype]      # (ncol, nlev)
+        if mapping > 0:
+            itype = mapping - 1
+            me_sw = jnp.asarray(tables["mass_ext_sw_phobic"][:, itype])
+            ss_sw = jnp.asarray(tables["ssa_sw_phobic"][:, itype])
+            gg_sw = jnp.asarray(tables["g_sw_phobic"][:, itype])
+            me_lw = jnp.asarray(tables["mass_ext_lw_phobic"][:, itype])
+            ss_lw = jnp.asarray(tables["ssa_lw_phobic"][:, itype])
+            gg_lw = jnp.asarray(tables["g_lw_phobic"][:, itype])
+            lod_sw = mr[..., None] * me_sw
+            lod_lw = mr[..., None] * me_lw
+        else:
+            itype = -mapping - 1
+            # philic tables: (nband, ntype, nrh) → gather rh per (col,lev)
+            me_sw = jnp.asarray(
+                tables["mass_ext_sw_philic"][:, itype, :])   # (nband, nrh)
+            ss_sw = jnp.asarray(tables["ssa_sw_philic"][:, itype, :])
+            gg_sw = jnp.asarray(tables["g_sw_philic"][:, itype, :])
+            me_lw = jnp.asarray(tables["mass_ext_lw_philic"][:, itype, :])
+            ss_lw = jnp.asarray(tables["ssa_lw_philic"][:, itype, :])
+            gg_lw = jnp.asarray(tables["g_lw_philic"][:, itype, :])
+            # gather: me_sw.T[irh] → (ncol, nlev, nband)
+            me_sw = jnp.take(me_sw.T, irh, axis=0)
+            ss_sw = jnp.take(ss_sw.T, irh, axis=0)
+            gg_sw = jnp.take(gg_sw.T, irh, axis=0)
+            me_lw = jnp.take(me_lw.T, irh, axis=0)
+            ss_lw = jnp.take(ss_lw.T, irh, axis=0)
+            gg_lw = jnp.take(gg_lw.T, irh, axis=0)
+            lod_sw = mr[..., None] * me_sw
+            lod_lw = mr[..., None] * me_lw
+        od_sw = od_sw + lod_sw
+        scat_sw = scat_sw + lod_sw * ss_sw
+        scatg_sw = scatg_sw + lod_sw * ss_sw * gg_sw
+        od_lw = od_lw + lod_lw
+        scat_lw = scat_lw + lod_lw * ss_lw
+        scatg_lw = scatg_lw + lod_lw * ss_lw * gg_lw
+
+    return dict(od_sw=od_sw, scat_sw=scat_sw, scatg_sw=scatg_sw,
+                od_lw=od_lw, scat_lw=scat_lw, scatg_lw=scatg_lw)
+
+
+def delta_eddington_extensive(od, scat, scatg):
+    """radiation_delta_eddington.h:46-69."""
+    g = jnp.where(scat > 0.0, scatg / jnp.maximum(scat, 1e-300), 0.0)
+    f = g * g
+    od = od - scat * f
+    scat = scat * (1.0 - f)
+    scatg = scat * g / (1.0 + g)
+    return od, scat, scatg
+
+
+def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
+                       band_from_g_lw, od_sw, ssa_sw, g_sw, od_lw,
+                       ssa_lw=None, g_lw=None):
+    """Merge band-wise aerosol properties into per-g gas arrays
+    (radiation_aerosol_optics.F90:662-780, RRTMG band-based branch).
+
+    Returns updated (od_sw, ssa_sw, g_sw, od_lw, ssa_lw, g_lw)."""
+    bsw = jnp.asarray(band_from_g_sw)
+    blw = jnp.asarray(band_from_g_lw)
+
+    od_a, scat_a, scatg_a = aer["od_sw"], aer["scat_sw"], aer["scatg_sw"]
+    if not config.do_sw_delta_scaling_with_gases:
+        od_a, scat_a, scatg_a = delta_eddington_extensive(
+            od_a, scat_a, scatg_a)
+    od_a_g = jnp.take(od_a, bsw, axis=-1)
+    scat_a_g = jnp.take(scat_a, bsw, axis=-1)
+    scatg_a_g = jnp.take(scatg_a, bsw, axis=-1)
+    local_od = od_sw + od_a_g
+    apply = (local_od > 0.0) & (od_a_g > 0.0)
+    local_scat = ssa_sw * od_sw + scat_a_g
+    new_g = jnp.where(local_scat > 0.0,
+                      scatg_a_g / jnp.maximum(local_scat, 1e-300), g_sw)
+    g_sw = jnp.where(apply, new_g, g_sw)
+    ssa_sw = jnp.where(apply, local_scat
+                       / jnp.maximum(local_od, 1e-300), ssa_sw)
+    od_sw = jnp.where(apply, local_od, od_sw)
+
+    if config.do_lw_aerosol_scattering:
+        od_a, scat_a, scatg_a = delta_eddington_extensive(
+            aer["od_lw"], aer["scat_lw"], aer["scatg_lw"])
+        od_a_g = jnp.take(od_a, blw, axis=-1)
+        scat_a_g = jnp.take(scat_a, blw, axis=-1)
+        scatg_a_g = jnp.take(scatg_a, blw, axis=-1)
+        local_od = od_lw + od_a_g
+        apply = (local_od > 0.0) & (od_a_g > 0.0)
+        new_g = jnp.where(scat_a_g > 0.0,
+                          scatg_a_g / jnp.maximum(scat_a_g, 1e-300), g_lw)
+        g_lw = jnp.where(apply, new_g, g_lw)
+        ssa_lw = jnp.where(apply, scat_a_g
+                           / jnp.maximum(local_od, 1e-300), ssa_lw)
+        od_lw = jnp.where(apply, local_od, od_lw)
+    else:
+        # absorption-only LW aerosol (radiation_aerosol_optics.F90:751-768)
+        od_abs = aer["od_lw"] - aer["scat_lw"]
+        od_lw = od_lw + jnp.take(od_abs, blw, axis=-1)
+
+    return od_sw, ssa_sw, g_sw, od_lw, ssa_lw, g_lw

@@ -28,11 +28,12 @@ NBANDS_SW = 14
 NG_LW = 140
 NG_SW = 112
 
-# LW band bounds in cm-1 (ifsrrtm/surrtpk.F90 WAVENUM1/2 comments)
-LW_WAVENUM1 = np.array([10., 250., 500., 630., 700., 820., 980., 1080.,
+# LW band bounds in cm-1 (radiation_ifs_rrtm.F90:160-165
+# allocate_bands_only call — RRTMG v4.85 band 1 spans 10-350)
+LW_WAVENUM1 = np.array([10., 350., 500., 630., 700., 820., 980., 1080.,
                         1180., 1390., 1480., 1800., 2080., 2250., 2380.,
                         2600.])
-LW_WAVENUM2 = np.array([250., 500., 630., 700., 820., 980., 1080., 1180.,
+LW_WAVENUM2 = np.array([350., 500., 630., 700., 820., 980., 1080., 1180.,
                         1390., 1480., 1800., 2080., 2250., 2380., 2600.,
                         3250.])
 # SW band bounds in cm-1 (ifsrrtm/susrtm.F90 WAVENUM1/2 comments); band 14

@@ -13,9 +13,10 @@ import numpy as np
 SOLAR_REFERENCE_TEMPERATURE = 5777.0        # K (L27)
 TERRESTRIAL_REFERENCE_TEMPERATURE = 273.15  # K (L28)
 
-SPEED_OF_LIGHT = 2.99792458e8
-PLANCK_CONSTANT = 6.62606896e-34
-BOLTZMANN_CONSTANT = 1.3806504e-23
+# Values as in the reference (radiation/radiation_constants.F90:31-33)
+SPEED_OF_LIGHT = 299792458.0
+PLANCK_CONSTANT = 6.6260695729e-34
+BOLTZMANN_CONSTANT = 1.380648813e-23
 
 
 def planck_function_wavenumber(wavenumber_cm, temperature):
