@@ -19,7 +19,7 @@ from ecrad_tpu.containers import Flux
 from ecrad_tpu.optics import aerosol as aerosol_mod
 from ecrad_tpu.optics import cloud as cloud_optics_mod
 from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
-from ecrad_tpu.solvers import cloudless, mcica
+from ecrad_tpu.solvers import cloudless, mcica, tripleclouds
 
 
 class Tables(NamedTuple):
@@ -280,11 +280,20 @@ def radiation(config: Config, tables: Tables, *,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives)
+        elif config.lw_solver == Solver.TRIPLECLOUDS:
+            lw = tripleclouds.solver_tripleclouds_lw(
+                config, od_lw, ssa_lw, g_lw_arr,
+                cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
+                tables.band_from_g_lw, frac, cloud["fractional_std"],
+                cloud["overlap_param"], planck_hl, lw_emission,
+                lw_albedo_g)
         else:
             raise NotImplementedError(
                 f"LW solver {config.lw_solver} not yet implemented")
 
-        is_mcica_lw = (config.lw_solver == Solver.MCICA and do_clouds)
+        is_mcica_lw = (config.lw_solver in (Solver.MCICA,
+                                            Solver.TRIPLECLOUDS)
+                       and do_clouds)
         if is_mcica_lw:
             flux_kw.update(
                 lw_up=lw.flux_up, lw_dn=lw.flux_dn,
@@ -351,6 +360,27 @@ def radiation(config: Config, tables: Tables, *,
             sw_dn_direct_g = sw.flux_dn_direct_g
             sw_up_clear_g, sw_dn_clear_g = sw_up_g, sw_dn_g
             sw_dn_direct_clear_g = sw_dn_direct_g
+        elif config.sw_solver == Solver.TRIPLECLOUDS:
+            sw = tripleclouds.solver_tripleclouds_sw(
+                config, od_sw, ssa_sw, g_sw_arr,
+                cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
+                tables.band_from_g_sw, frac, cloud["fractional_std"],
+                cloud["overlap_param"], go.incoming_sw, cos_sza,
+                sw_albedo_diffuse_g, sw_albedo_direct_g)
+            sw_up, sw_dn = sw.flux_up, sw.flux_dn
+            sw_dn_direct = sw.flux_dn_direct
+            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
+            sw_dn_direct_clear = sw.flux_dn_direct_clear
+            cloud_cover_sw = sw.cloud_cover
+            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
+            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
+            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
+            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
+            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
+            sw_dn_direct_g = sw.flux_dn_direct_g
+            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
+                                            sw.flux_dn_clear_g)
+            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
         elif config.sw_solver == Solver.MCICA:
             sw = mcica.solver_mcica_sw(
                 od_sw, ssa_sw, g_sw_arr,

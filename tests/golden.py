@@ -51,6 +51,8 @@ def make_cloud_inputs(config, inp):
         "q_ice": jnp.asarray(inp.cloud_mixing_ratio[:, :, 1]),
         "re_liq": jnp.asarray(inp.cloud_effective_radius[:, :, 0]),
         "re_ice": jnp.asarray(inp.cloud_effective_radius[:, :, 1]),
+        "overlap_param": jnp.asarray(inp.overlap_param),
+        "fractional_std": jnp.asarray(inp.fractional_std),
     }
     if Solver.MCICA in (config.sw_solver, config.lw_solver):
         from ecrad_tpu.io.netcdf import NcFile
