@@ -18,6 +18,8 @@ from ecrad_tpu.config import Config, GasModel, Solver
 from ecrad_tpu.containers import Flux
 from ecrad_tpu.optics import aerosol as aerosol_mod
 from ecrad_tpu.optics import cloud as cloud_optics_mod
+from ecrad_tpu.optics import ecckd as ecckd_mod
+from ecrad_tpu.optics import general_cloud as general_cloud_mod
 from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
 from ecrad_tpu.solvers import cloudless, mcica, tripleclouds
 
@@ -25,6 +27,7 @@ from ecrad_tpu.solvers import cloudless, mcica, tripleclouds
 class Tables(NamedTuple):
     """Setup-time derived arrays (HBM-resident pytree, replicated)."""
     gas: Dict                      # gas-optics tables
+    gas_meta: Optional[Dict] = None       # ecCKD static metadata
     sw_albedo_weights: Optional[np.ndarray] = None   # (nalbedo, nbands_sw)
     lw_emiss_weights: Optional[np.ndarray] = None    # (nemiss, nbands_lw)
     i_albedo_from_band_sw: Optional[np.ndarray] = None
@@ -42,14 +45,13 @@ def setup_radiation(config: Config, data_dir: str = None):
     data_dir overrides config.directory_name for locating optics files.
     Returns (consolidated config, Tables).
     """
-    if config.gas_model_sw != GasModel.RRTMG or \
-            config.gas_model_lw != GasModel.RRTMG:
-        if config.gas_model_sw != GasModel.ECCKD:
-            raise NotImplementedError(
-                "only RRTMG and ecCKD gas optics are implemented")
+    if config.gas_model_sw != config.gas_model_lw:
+        raise NotImplementedError(
+            "mixed SW/LW gas models not yet supported")
 
     kw = {}
-    tab = {}
+    gas_meta = None
+    specdef_sw = specdef_lw = None
 
     if config.gas_model_sw == GasModel.RRTMG:
         gas_tables = rrtmg.setup_tables()
@@ -65,9 +67,42 @@ def setup_radiation(config: Config, data_dir: str = None):
         band_from_g_lw = gas_tables["lw_band_from_g"]
         wn1_sw, wn2_sw = rrtmg_data.SW_WAVENUM1, rrtmg_data.SW_WAVENUM2
         wn1_lw, wn2_lw = rrtmg_data.LW_WAVENUM1, rrtmg_data.LW_WAVENUM2
+    elif config.gas_model_sw == GasModel.ECCKD:
+        import os as _os
+        ddir0 = data_dir or config.directory_name
+        sw_file = (config.gas_optics_sw_override_file_name
+                   or "ecckd-1.4_sw_climate_rgb-32b_ckd-definition.nc")
+        lw_file = (config.gas_optics_lw_override_file_name
+                   or "ecckd-1.0_lw_climate_fsck-32b_ckd-definition.nc")
+        if not sw_file.startswith("/"):
+            sw_file = _os.path.join(ddir0, sw_file)
+        if not lw_file.startswith("/"):
+            lw_file = _os.path.join(ddir0, lw_file)
+        t_sw, specdef_sw, meta_sw = ecckd_mod.load_ckd_model(sw_file)
+        t_lw, specdef_lw, meta_lw = ecckd_mod.load_ckd_model(lw_file)
+        gas_tables = {"sw": t_sw, "lw": t_lw}
+        gas_meta = {"sw": meta_sw, "lw": meta_lw}
+        kw["n_g_sw"] = specdef_sw.ng
+        kw["n_g_lw"] = specdef_lw.ng
+        if config.do_cloud_aerosol_per_sw_g_point:
+            kw["n_bands_sw"] = specdef_sw.ng
+            band_from_g_sw = np.arange(specdef_sw.ng)
+        else:
+            kw["n_bands_sw"] = specdef_sw.nband
+            band_from_g_sw = specdef_sw.band_number
+        if config.do_cloud_aerosol_per_lw_g_point:
+            kw["n_bands_lw"] = specdef_lw.ng
+            band_from_g_lw = np.arange(specdef_lw.ng)
+        else:
+            kw["n_bands_lw"] = specdef_lw.nband
+            band_from_g_lw = specdef_lw.band_number
+        wn1_sw, wn2_sw = (specdef_sw.wavenumber1_band,
+                          specdef_sw.wavenumber2_band)
+        wn1_lw, wn2_lw = (specdef_lw.wavenumber1_band,
+                          specdef_lw.wavenumber2_band)
     else:
-        raise NotImplementedError("ecCKD setup arrives with the ecCKD "
-                                  "backend")
+        raise NotImplementedError(
+            "only RRTMG and ecCKD gas optics are implemented")
 
     # --- surface albedo/emissivity interval consolidation
     # (radiation_config.F90:1947-2103)
@@ -75,9 +110,14 @@ def setup_radiation(config: Config, data_dir: str = None):
     if not i_sw_idx:
         i_sw_idx = [1]
     sw_bounds = list(config.sw_albedo_wavelength_bound[:len(i_sw_idx) - 1])
-    sw_albedo_weights = spectral.calc_mapping_from_bands(
-        wn1_sw, wn2_sw, spectral.SOLAR_REFERENCE_TEMPERATURE,
-        sw_bounds, i_sw_idx)
+    if specdef_sw is not None:
+        sw_albedo_weights = specdef_sw.calc_mapping_from_bands(
+            sw_bounds, i_sw_idx,
+            use_bands=not config.do_cloud_aerosol_per_sw_g_point)
+    else:
+        sw_albedo_weights = spectral.calc_mapping_from_bands(
+            wn1_sw, wn2_sw, spectral.SOLAR_REFERENCE_TEMPERATURE,
+            sw_bounds, i_sw_idx)
     kw["n_albedo_intervals"] = int(max(i_sw_idx))
     if config.use_canopy_full_spectrum_sw:
         kw["n_canopy_bands_sw"] = kw["n_g_sw"]
@@ -91,9 +131,14 @@ def setup_radiation(config: Config, data_dir: str = None):
     if not i_lw_idx:
         i_lw_idx = [1]
     lw_bounds = list(config.lw_emiss_wavelength_bound[:len(i_lw_idx) - 1])
-    lw_emiss_weights = spectral.calc_mapping_from_bands(
-        wn1_lw, wn2_lw, spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
-        lw_bounds, i_lw_idx)
+    if specdef_lw is not None:
+        lw_emiss_weights = specdef_lw.calc_mapping_from_bands(
+            lw_bounds, i_lw_idx,
+            use_bands=not config.do_cloud_aerosol_per_lw_g_point)
+    else:
+        lw_emiss_weights = spectral.calc_mapping_from_bands(
+            wn1_lw, wn2_lw, spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
+            lw_bounds, i_lw_idx)
     kw["n_emiss_intervals"] = int(max(i_lw_idx))
     if config.use_canopy_full_spectrum_lw:
         kw["n_canopy_bands_lw"] = kw["n_g_lw"]
@@ -113,9 +158,16 @@ def setup_radiation(config: Config, data_dir: str = None):
     if kw["do_clouds"]:
         ddir = data_dir or config.directory_name
         if config.use_general_cloud_optics:
-            raise NotImplementedError(
-                "general cloud optics arrives with the ecCKD backend")
-        cloud_tables = cloud_optics_mod.setup_cloud_optics(config, ddir)
+            if specdef_sw is None:
+                raise NotImplementedError(
+                    "general cloud optics requires a spectral definition "
+                    "(ecCKD gas optics)")
+            cloud_tables = general_cloud_mod.setup_general_cloud_optics(
+                config, ddir, specdef_sw, specdef_lw)
+            kw["n_cloud_types"] = len(cloud_tables["type_names"])
+        else:
+            cloud_tables = cloud_optics_mod.setup_cloud_optics(config,
+                                                               ddir)
         if Solver.MCICA in (config.sw_solver, config.lw_solver):
             import os as _os
 
@@ -134,10 +186,12 @@ def setup_radiation(config: Config, data_dir: str = None):
     if config.use_aerosols and config.n_aerosol_types > 0:
         ddir = data_dir or config.directory_name
         aerosol_tables = aerosol_mod.setup_aerosol_optics(
-            config, ddir, wn1_sw, wn2_sw, wn1_lw, wn2_lw)
+            config, ddir, wn1_sw, wn2_sw, wn1_lw, wn2_lw,
+            specdef_sw=specdef_sw, specdef_lw=specdef_lw)
 
     new_config = config.replace(**kw)
     tables = Tables(
+        gas_meta=gas_meta,
         cloud=cloud_tables,
         pdf_sampler=pdf_tables,
         aerosol=aerosol_tables,
@@ -213,13 +267,48 @@ def radiation(config: Config, tables: Tables, *,
              for name in ("h2o", "co2", "ch4", "n2o", "cfc11", "cfc12",
                           "hcfc22", "ccl4", "o3")}
 
-    go = rrtmg.gas_optics(
-        tables.gas, pressure_hl, temperature_hl, gdict,
-        cos_sza=cos_sza, do_lw=config.do_lw, do_sw=config.do_sw,
-        skin_temperature=skin_temperature,
-        solar_irradiance=solar_irradiance,
-        min_gas_od_lw=config.min_gas_od_lw,
-        min_gas_od_sw=config.min_gas_od_sw)
+    if config.gas_model_sw == GasModel.RRTMG:
+        go = rrtmg.gas_optics(
+            tables.gas, pressure_hl, temperature_hl, gdict,
+            cos_sza=cos_sza, do_lw=config.do_lw, do_sw=config.do_sw,
+            skin_temperature=skin_temperature,
+            solar_irradiance=solar_irradiance,
+            min_gas_od_lw=config.min_gas_od_lw,
+            min_gas_od_sw=config.min_gas_od_sw)
+    else:
+        # ecCKD backend (radiation_ecckd_interface.F90:174-340):
+        # pressure-weighted full-level temperature, gases in VMR
+        phl = pressure_hl
+        thl = temperature_hl
+        t_fl = ((thl[:, :-1] * phl[:, :-1] + thl[:, 1:] * phl[:, 1:])
+                / (phl[:, :-1] + phl[:, 1:]))
+        gas_vmr = {name: mmr * (constants.MOLAR_MASS_DRY_AIR
+                                / constants.MOLAR_MASS[name])
+                   for name, mmr in gdict.items()}
+        go_kw = {}
+        if config.do_sw:
+            od_sw_g, ray = ecckd_mod.calc_optical_depth(
+                tables.gas["sw"], tables.gas_meta["sw"], phl, t_fl,
+                gas_vmr)
+            od_sw_tot = od_sw_g + ray
+            go_kw["od_sw"] = od_sw_tot
+            go_kw["ssa_sw"] = ray / od_sw_tot
+            inc = ecckd_mod.calc_incoming_sw(
+                tables.gas["sw"], tables.gas_meta["sw"],
+                solar_irradiance, phl.shape[0])
+            go_kw["incoming_sw"] = jnp.where((cos_sza > 0.0)[:, None],
+                                             inc, 0.0)
+        if config.do_lw:
+            od_lw_g, _ = ecckd_mod.calc_optical_depth(
+                tables.gas["lw"], tables.gas_meta["lw"], phl, t_fl,
+                gas_vmr)
+            go_kw["od_lw"] = jnp.maximum(od_lw_g, config.min_gas_od_lw)
+            go_kw["planck_hl"] = ecckd_mod.calc_planck(
+                tables.gas["lw"], tables.gas_meta["lw"], thl)
+            go_kw["lw_emission"] = ecckd_mod.calc_planck(
+                tables.gas["lw"], tables.gas_meta["lw"],
+                skin_temperature)
+        go = rrtmg.RRTMGGasOptics(**go_kw)
 
     # --- gas + aerosol optical properties
     od_lw, planck_hl = go.od_lw, go.planck_hl
@@ -253,10 +342,18 @@ def radiation(config: Config, tables: Tables, *,
         keep = ((cloud["fraction"] >= config.cloud_fraction_threshold)
                 & (total_water >= config.cloud_mixing_ratio_threshold))
         frac = jnp.where(keep, cloud["fraction"], 0.0)
-        cl = cloud_optics_mod.cloud_optics(
-            config, tables.cloud, pressure_hl, temperature_hl,
-            frac, cloud["q_liq"], cloud["q_ice"],
-            cloud["re_liq"], cloud["re_ice"])
+        if config.use_general_cloud_optics:
+            mixing_ratio = jnp.stack([cloud["q_liq"], cloud["q_ice"]],
+                                     axis=-1)
+            reff = jnp.stack([cloud["re_liq"], cloud["re_ice"]], axis=-1)
+            cl = general_cloud_mod.general_cloud_optics(
+                config, tables.cloud, pressure_hl, frac, mixing_ratio,
+                reff)
+        else:
+            cl = cloud_optics_mod.cloud_optics(
+                config, tables.cloud, pressure_hl, temperature_hl,
+                frac, cloud["q_liq"], cloud["q_ice"],
+                cloud["re_liq"], cloud["re_ice"])
 
     flux_kw = {}
 

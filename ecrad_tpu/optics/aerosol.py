@@ -58,11 +58,15 @@ def calc_mapping_bands(wavenumber1_band, wavenumber2_band, ref_temp,
 
 
 def setup_aerosol_optics(config: Config, data_dir: str,
-                         wn1_sw, wn2_sw, wn1_lw, wn2_lw) -> Dict:
+                         wn1_sw, wn2_sw, wn1_lw, wn2_lw,
+                         specdef_sw=None, specdef_lw=None) -> Dict:
     """Load + spectrally average the aerosol optics file (host-side).
 
-    Currently implements the general (high-resolution) path used by the
-    49R1 configuration; returns band-wise LUTs + type classification.
+    Implements the general (high-resolution) path
+    (radiation_aerosol_optics.F90:96-215): per-band averaging with the
+    RRTMG band structure, or per-g-point averaging through the spectral
+    definition when do_cloud_aerosol_per_*_g_point (ecCKD path) —
+    pass specdef_sw/lw for the latter.
     """
     from ecrad_tpu.io.netcdf import NcFile
 
@@ -93,12 +97,18 @@ def setup_aerosol_optics(config: Config, data_dir: str,
             g_philic = f.get("asymmetry_hydrophilic")
             rh_lower = f.get("relative_humidity1")
 
-    map_sw = calc_mapping_bands(wn1_sw, wn2_sw,
-                                spectral.SOLAR_REFERENCE_TEMPERATURE,
-                                wavenumber)
-    map_lw = calc_mapping_bands(wn1_lw, wn2_lw,
-                                spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
-                                wavenumber)
+    if config.do_cloud_aerosol_per_sw_g_point and specdef_sw is not None:
+        map_sw = specdef_sw.calc_mapping(wavenumber, use_bands=False)
+    else:
+        map_sw = calc_mapping_bands(wn1_sw, wn2_sw,
+                                    spectral.SOLAR_REFERENCE_TEMPERATURE,
+                                    wavenumber)
+    if config.do_cloud_aerosol_per_lw_g_point and specdef_lw is not None:
+        map_lw = specdef_lw.calc_mapping(wavenumber, use_bands=False)
+    else:
+        map_lw = calc_mapping_bands(
+            wn1_lw, wn2_lw, spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
+            wavenumber)
 
     def average(mapping, mass_ext, ssa, g):
         """Fortran: matmul(mapping(nband,nwn), X(nwn, ...)) — here the
@@ -239,15 +249,24 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     od_a_g = jnp.take(od_a, bsw, axis=-1)
     scat_a_g = jnp.take(scat_a, bsw, axis=-1)
     scatg_a_g = jnp.take(scatg_a, bsw, axis=-1)
-    local_od = od_sw + od_a_g
-    apply = (local_od > 0.0) & (od_a_g > 0.0)
-    local_scat = ssa_sw * od_sw + scat_a_g
-    new_g = jnp.where(local_scat > 0.0,
-                      scatg_a_g / jnp.maximum(local_scat, 1e-300), g_sw)
-    g_sw = jnp.where(apply, new_g, g_sw)
-    ssa_sw = jnp.where(apply, local_scat
-                       / jnp.maximum(local_od, 1e-300), ssa_sw)
-    od_sw = jnp.where(apply, local_od, od_sw)
+    if config.do_cloud_aerosol_per_sw_g_point:
+        # per-g-point merge (radiation_aerosol_optics.F90:668-676)
+        local_scat = ssa_sw * od_sw + scat_a_g
+        od_sw = od_sw + od_a_g
+        g_sw = scatg_a_g / jnp.maximum(local_scat, 1.0e-24)
+        ssa_sw = jnp.minimum(local_scat / jnp.maximum(od_sw, 1.0e-24),
+                             1.0)
+    else:
+        local_od = od_sw + od_a_g
+        apply = (local_od > 0.0) & (od_a_g > 0.0)
+        local_scat = ssa_sw * od_sw + scat_a_g
+        new_g = jnp.where(local_scat > 0.0,
+                          scatg_a_g / jnp.maximum(local_scat, 1e-300),
+                          g_sw)
+        g_sw = jnp.where(apply, new_g, g_sw)
+        ssa_sw = jnp.where(apply, local_scat
+                           / jnp.maximum(local_od, 1e-300), ssa_sw)
+        od_sw = jnp.where(apply, local_od, od_sw)
 
     if config.do_lw_aerosol_scattering:
         od_a, scat_a, scatg_a = delta_eddington_extensive(

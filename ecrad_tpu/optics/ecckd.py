@@ -1,0 +1,238 @@
+"""ecCKD gas optics model.
+
+Reference: radiation/radiation_ecckd.F90 (+ radiation_ecckd_gas.F90,
+radiation_ecckd_interface.F90).  The k-distribution is loaded at runtime
+from a NetCDF "ckd-definition" file: per-gas molar absorption LUTs on a
+regular log-pressure × temperature(-offset) grid with four concentration-
+dependence types, a Planck LUT (LW) or normalized solar irradiance +
+Rayleigh coefficients (SW), and an embedded spectral definition.
+
+TPU formulation: the LUTs are small, regular grids → pure jnp gather +
+multilinear interpolation with the g axis on lanes; everything fuses into
+a handful of elementwise kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ecrad_tpu import constants
+from ecrad_tpu.optics.spectral_def import SpectralDefinition
+
+# radiation_ecckd_gas.F90:8-13
+CONC_NONE = 0
+CONC_LINEAR = 1
+CONC_LUT = 2
+CONC_RELATIVE_LINEAR = 3
+
+AIR_MOLAR_MASS = 28.970        # radiation_gas_constants.F90
+GRAVITY = 9.80665
+
+
+def load_ckd_model(path: str):
+    """Host-side read (radiation_ecckd.F90:127-293).
+
+    Returns (tables dict of numpy arrays, SpectralDefinition, meta dict).
+    """
+    from ecrad_tpu.io.netcdf import NcFile
+
+    t: Dict = {}
+    meta: Dict = {}
+    with NcFile(path) as f:
+        pressure_lut = f.get("pressure")
+        meta["log_pressure1"] = float(np.log(pressure_lut[0]))
+        meta["npress"] = pressure_lut.size
+        meta["d_log_pressure"] = float(np.log(pressure_lut[1])
+                                       - np.log(pressure_lut[0]))
+        temperature_full = f.get("temperature")     # (ntemp, npress) C
+        t["temperature1"] = temperature_full[0, :]  # (npress,)
+        meta["d_temperature"] = float(temperature_full[1, 0]
+                                      - temperature_full[0, 0])
+        meta["ntemp"] = temperature_full.shape[0]
+
+        if f.exists("solar_irradiance"):
+            meta["is_sw"] = True
+            si = f.get("solar_irradiance")
+            t["norm_solar_irradiance"] = si / si.sum()
+            t["rayleigh_molar_scat"] = f.get(
+                "rayleigh_molar_scattering_coeff")
+        else:
+            meta["is_sw"] = False
+            tp = f.get("temperature_planck")
+            meta["nplanck"] = tp.size
+            meta["temperature1_planck"] = float(tp[0])
+            meta["d_temperature_planck"] = float(tp[1] - tp[0])
+            t["planck_function"] = f.get("planck_function")  # (nT, ng)
+
+        specdef = SpectralDefinition.from_file(f)
+        meta["ng"] = specdef.ng
+
+        constituent_id = f.get_global_attr("constituent_id")
+        gas_names = constituent_id.split()
+        meta["gases"] = []
+        for gname in gas_names:
+            g: Dict = {"name": gname}
+            code = int(np.asarray(
+                f.get(f"{gname}_conc_dependence_code")).ravel()[0])
+            g["conc_dependence"] = code
+            if code == CONC_LUT:
+                # (nconc, ntemp, npress, ng) in C-order
+                t[f"{gname}_molar_abs_conc"] = f.get(
+                    f"{gname}_molar_absorption_coeff")
+                mf = f.get(f"{gname}_mole_fraction")
+                g["log_mole_frac1"] = float(np.log(mf[0]))
+                g["n_mole_frac"] = mf.size
+                g["d_log_mole_frac"] = float(
+                    (np.log(mf[-1]) - np.log(mf[0])) / (mf.size - 1))
+            else:
+                # (ntemp, npress, ng) in C-order
+                t[f"{gname}_molar_abs"] = f.get(
+                    f"{gname}_molar_absorption_coeff")
+            if code == CONC_RELATIVE_LINEAR:
+                g["reference_mole_frac"] = float(np.asarray(f.get(
+                    f"{gname}_reference_mole_fraction")).ravel()[0])
+            meta["gases"].append(g)
+    return t, specdef, meta
+
+
+def calc_optical_depth(tables: Dict, meta: Dict, pressure_hl,
+                       temperature_fl, gas_vmr):
+    """radiation_ecckd.F90:457-658 calc_optical_depth_ckd_model.
+
+    gas_vmr: dict name → (ncol, nlev) volume mixing ratio ("composite"
+    needs no entry).  Returns (od (ncol,nlev,ng) [, rayleigh_od]).
+    """
+    dtype = pressure_hl.dtype
+    npress, ntemp = meta["npress"], meta["ntemp"]
+    global_multiplier = 1.0 / (GRAVITY * 0.001 * AIR_MOLAR_MASS)
+
+    log_p = jnp.log(0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:]))
+    pindex1 = (log_p - meta["log_pressure1"]) / meta["d_log_pressure"]
+    pindex1 = 1.0 + jnp.clip(pindex1, 0.0, npress - 1.0001)
+    ip1 = pindex1.astype(jnp.int32)            # 1-based lower index
+    pw2 = pindex1 - ip1
+    pw1 = 1.0 - pw2
+
+    temp1_lut = jnp.asarray(tables["temperature1"], dtype)
+    temperature1 = pw1 * temp1_lut[ip1 - 1] + pw2 * temp1_lut[ip1]
+    tindex1 = (temperature_fl - temperature1) / meta["d_temperature"]
+    tindex1 = 1.0 + jnp.clip(tindex1, 0.0, ntemp - 1.0001)
+    it1 = tindex1.astype(jnp.int32)
+    tw2 = tindex1 - it1
+    tw1 = 1.0 - tw2
+
+    simple_multiplier = global_multiplier * (pressure_hl[:, 1:]
+                                             - pressure_hl[:, :-1])
+
+    # flat (p,t) gather index into (ntemp*npress, ng) tables
+    def interp_pt(table_c):
+        """table_c numpy (ntemp, npress, ng) → interpolated
+        (ncol, nlev, ng)."""
+        flat = jnp.asarray(table_c, dtype).reshape(ntemp * npress, -1)
+
+        def at(it_1b, ip_1b):
+            idx = (it_1b - 1) * npress + (ip_1b - 1)
+            return jnp.take(flat, idx, axis=0)
+
+        return (tw1[..., None] * (pw1[..., None] * at(it1, ip1)
+                                  + pw2[..., None] * at(it1, ip1 + 1))
+                + tw2[..., None] * (pw1[..., None] * at(it1 + 1, ip1)
+                                    + pw2[..., None] * at(it1 + 1,
+                                                          ip1 + 1)))
+
+    od = 0.0
+    for g in meta["gases"]:
+        gname = g["name"]
+        code = g["conc_dependence"]
+        if code == CONC_LINEAR:
+            k = interp_pt(tables[f"{gname}_molar_abs"])
+            mult = simple_multiplier * gas_vmr[gname]
+            od = od + mult[..., None] * k
+        elif code == CONC_RELATIVE_LINEAR:
+            k = interp_pt(tables[f"{gname}_molar_abs"])
+            mult = simple_multiplier * (gas_vmr[gname]
+                                        - g["reference_mole_frac"])
+            od = od + mult[..., None] * k
+        elif code == CONC_NONE:
+            k = interp_pt(tables[f"{gname}_molar_abs"])
+            od = od + simple_multiplier[..., None] * k
+        elif code == CONC_LUT:
+            nconc = g["n_mole_frac"]
+            log_conc = jnp.log(jnp.maximum(gas_vmr[gname],
+                                           np.exp(g["log_mole_frac1"])))
+            cindex1 = (log_conc - g["log_mole_frac1"]) \
+                / g["d_log_mole_frac"]
+            cindex1 = 1.0 + jnp.clip(cindex1, 0.0, nconc - 1.0001)
+            ic1 = cindex1.astype(jnp.int32)
+            cw2 = cindex1 - ic1
+            cw1 = 1.0 - cw2
+            # (nconc, ntemp, npress, ng) → flat (nconc*ntemp*npress, ng)
+            tab = jnp.asarray(tables[f"{gname}_molar_abs_conc"],
+                              dtype)
+            flat = tab.reshape(nconc * ntemp * npress, -1)
+
+            def at3(ic_1b, it_1b, ip_1b):
+                idx = ((ic_1b - 1) * ntemp + (it_1b - 1)) * npress \
+                    + (ip_1b - 1)
+                return jnp.take(flat, idx, axis=0)
+
+            k = (cw1[..., None] * (
+                    tw1[..., None] * (pw1[..., None] * at3(ic1, it1, ip1)
+                                      + pw2[..., None]
+                                      * at3(ic1, it1, ip1 + 1))
+                    + tw2[..., None] * (pw1[..., None]
+                                        * at3(ic1, it1 + 1, ip1)
+                                        + pw2[..., None]
+                                        * at3(ic1, it1 + 1, ip1 + 1)))
+                 + cw2[..., None] * (
+                    tw1[..., None] * (pw1[..., None]
+                                      * at3(ic1 + 1, it1, ip1)
+                                      + pw2[..., None]
+                                      * at3(ic1 + 1, it1, ip1 + 1))
+                    + tw2[..., None] * (pw1[..., None]
+                                        * at3(ic1 + 1, it1 + 1, ip1)
+                                        + pw2[..., None]
+                                        * at3(ic1 + 1, it1 + 1,
+                                              ip1 + 1))))
+            mult = simple_multiplier * gas_vmr[gname]
+            od = od + mult[..., None] * k
+        else:
+            raise ValueError(f"unknown conc dependence {code}")
+
+    od = jnp.maximum(od, 0.0)
+    if meta["is_sw"]:
+        ray = simple_multiplier[..., None] \
+            * jnp.asarray(tables["rayleigh_molar_scat"], dtype)
+        return od, ray
+    return od, None
+
+
+def calc_planck(tables: Dict, meta: Dict, temperature):
+    """radiation_ecckd.F90:900-932 calc_planck_function.
+    temperature (...,) → (..., ng)."""
+    pf = jnp.asarray(tables["planck_function"])      # (nT, ng)
+    t1 = meta["temperature1_planck"]
+    dt = meta["d_temperature_planck"]
+    nplanck = meta["nplanck"]
+    tindex0 = (temperature - t1) / dt
+    tindex1 = 1.0 + tindex0
+    it1 = jnp.minimum(tindex1.astype(jnp.int32), nplanck - 1)
+    tw2 = tindex1 - it1
+    tw1 = 1.0 - tw2
+    interp = (tw1[..., None] * jnp.take(pf, it1 - 1, axis=0)
+              + tw2[..., None] * jnp.take(pf, jnp.minimum(it1, nplanck - 1),
+                                          axis=0))
+    # below-table extrapolation: scale first entry linearly in T
+    low = pf[0] * (temperature / t1)[..., None]
+    return jnp.where((tindex0 >= 0.0)[..., None], interp, low)
+
+
+def calc_incoming_sw(tables: Dict, meta: Dict, total_solar_irradiance,
+                     ncol: int):
+    """radiation_ecckd.F90:935-966."""
+    nsi = jnp.asarray(tables["norm_solar_irradiance"])
+    return jnp.broadcast_to(total_solar_irradiance * nsi,
+                            (ncol, nsi.shape[0]))
