@@ -4,6 +4,10 @@
 
 Reference: driver/ecrad_driver.F90:28-431 (namelist → setup →
 read input → radiation over all columns → save_fluxes).
+
+The stochastic McICA sample is produced by the bit-exact host generator by
+default (reproducing the reference's lagged-Fibonacci stream); pass
+``--generator device`` to use the TPU-native counter-based generator.
 """
 
 from __future__ import annotations
@@ -16,17 +20,83 @@ import time
 import numpy as np
 
 
+def build_cloud_inputs(config, inp, generator="exact"):
+    """Cloud dict for radiation(), incl. McICA samples if needed."""
+    import jax.numpy as jnp
+
+    from ecrad_tpu.config import Solver
+
+    cloud = {
+        "fraction": jnp.asarray(inp.cloud_fraction),
+        "q_liq": jnp.asarray(inp.cloud_mixing_ratio[:, :, 0]),
+        "q_ice": jnp.asarray(inp.cloud_mixing_ratio[:, :, 1]),
+        "re_liq": jnp.asarray(inp.cloud_effective_radius[:, :, 0]),
+        "re_ice": jnp.asarray(inp.cloud_effective_radius[:, :, 1]),
+        "overlap_param": jnp.asarray(inp.overlap_param),
+        "fractional_std": jnp.asarray(inp.fractional_std),
+        "iseed": jnp.asarray(inp.iseed, jnp.int32),
+    }
+    if Solver.MCICA not in (config.sw_solver, config.lw_solver):
+        return cloud
+
+    frac = np.asarray(inp.cloud_fraction)
+    total_water = inp.cloud_mixing_ratio.sum(axis=-1)
+    frac = np.where(
+        (frac >= config.cloud_fraction_threshold)
+        & (total_water >= config.cloud_mixing_ratio_threshold), frac, 0.0)
+
+    if generator == "exact":
+        from ecrad_tpu.solvers import cloud_generator_exact as cge
+        sampler = None
+
+        def gen(ng, iseed):
+            nonlocal sampler
+            if sampler is None:
+                from ecrad_tpu.config import PdfShape
+                from ecrad_tpu.io.netcdf import NcFile
+                import os
+                from ecrad_tpu.data import DATA_DIR
+                pdf_file = ("mcica_gamma.nc"
+                            if config.cloud_pdf_shape == PdfShape.GAMMA
+                            else "mcica_lognormal.nc")
+                path = os.path.join(config.directory_name, pdf_file)
+                if not os.path.exists(path):
+                    path = os.path.join(DATA_DIR, pdf_file)
+                with NcFile(path) as f:
+                    sampler = cge.PdfSampler(f.get("fsd"), f.get("x").T)
+            return cge.cloud_generator_all_columns(
+                ng, int(config.overlap_scheme), iseed,
+                config.cloud_fraction_threshold, frac, inp.overlap_param,
+                config.cloud_inhom_decorr_scaling, inp.fractional_std,
+                sampler, config.use_beta_overlap)
+
+        if config.sw_solver == Solver.MCICA:
+            od_s, tcc = gen(config.n_g_sw, inp.iseed)
+            cloud["od_scaling_sw"] = jnp.asarray(od_s)
+            cloud["total_cloud_cover_sw"] = jnp.asarray(tcc)
+        if config.lw_solver == Solver.MCICA:
+            od_s, tcc = gen(config.n_g_lw, inp.iseed + 997)
+            cloud["od_scaling_lw"] = jnp.asarray(od_s)
+            cloud["total_cloud_cover_lw"] = jnp.asarray(tcc)
+    else:
+        # on-device counter-based generator — samples computed inside
+        # the jitted step by interface helpers; mark for deferral
+        cloud["_device_generator"] = True
+    return cloud
+
+
 def run(config_path: str, input_path: str, output_path: str,
-        dtype: str = "float64", jit: bool = True, nrepeat: int = None):
+        dtype: str = "float64", jit: bool = True, nrepeat: int = None,
+        generator: str = "exact"):
     import jax
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from ecrad_tpu.config import Config
+    from ecrad_tpu.config import Config, Solver
     from ecrad_tpu.interface import radiation, setup_radiation
     from ecrad_tpu.io.input import DriverConfig, read_input
-    from ecrad_tpu.io.output import save_fluxes
+    from ecrad_tpu.io.output import save_fluxes, save_net_fluxes
 
     config = Config.from_namelist(config_path)
     driver_config = DriverConfig.from_namelist(config_path)
@@ -41,6 +111,17 @@ def run(config_path: str, input_path: str, output_path: str,
     def to_dev(x):
         return jnp.asarray(x, dt) if x is not None else None
 
+    cloud = None
+    if config.do_clouds:
+        cloud = build_cloud_inputs(config, inp, generator)
+        use_device_gen = cloud.pop("_device_generator", False)
+    else:
+        use_device_gen = False
+
+    aerosol = None
+    if config.use_aerosols and inp.aerosol_mmr is not None:
+        aerosol = {"mixing_ratio": to_dev(inp.aerosol_mmr)}
+
     kwargs = dict(
         pressure_hl=to_dev(inp.thermodynamics.pressure_hl),
         temperature_hl=to_dev(inp.thermodynamics.temperature_hl),
@@ -50,12 +131,38 @@ def run(config_path: str, input_path: str, output_path: str,
         sw_albedo=to_dev(inp.sw_albedo),
         sw_albedo_direct=to_dev(inp.sw_albedo_direct),
         lw_emissivity=to_dev(inp.lw_emissivity),
-        solar_irradiance=float(inp.solar_irradiance),
+        cloud=cloud, aerosol=aerosol,
     )
+    solar = float(inp.solar_irradiance)
 
-    fn = functools.partial(radiation, config, tables)
-    if jit:
-        fn = jax.jit(lambda **kw: radiation(config, tables, **kw))
+    def step(**kw):
+        cl = kw.get("cloud")
+        if use_device_gen and cl is not None:
+            from ecrad_tpu.solvers.cloud_generator import (
+                cloud_generator_device)
+            total_water = cl["q_liq"] + cl["q_ice"]
+            keep = ((cl["fraction"] >= config.cloud_fraction_threshold)
+                    & (total_water
+                       >= config.cloud_mixing_ratio_threshold))
+            frac = jnp.where(keep, cl["fraction"], 0.0)
+            if config.sw_solver == Solver.MCICA:
+                od_s, tcc = cloud_generator_device(
+                    config, tables.pdf_sampler, cl["iseed"], frac,
+                    cl["overlap_param"], cl["fractional_std"],
+                    config.n_g_sw)
+                cl = dict(cl, od_scaling_sw=od_s,
+                          total_cloud_cover_sw=tcc)
+            if config.lw_solver == Solver.MCICA:
+                od_s, tcc = cloud_generator_device(
+                    config, tables.pdf_sampler, cl["iseed"] + 997, frac,
+                    cl["overlap_param"], cl["fractional_std"],
+                    config.n_g_lw)
+                cl = dict(cl, od_scaling_lw=od_s,
+                          total_cloud_cover_lw=tcc)
+            kw = dict(kw, cloud=cl)
+        return radiation(config, tables, solar_irradiance=solar, **kw)
+
+    fn = jax.jit(step) if jit else step
 
     t0 = time.time()
     flux = fn(**kwargs)
@@ -75,9 +182,17 @@ def run(config_path: str, input_path: str, output_path: str,
              f"({ncol*(nrepeat-1)/max(t_rest,1e-9):.0f} cols/s)"
              if nrepeat > 1 else ""))
 
-    save_fluxes(output_path, config, flux, inp.thermodynamics.pressure_hl,
-                experiment_name=driver_config.experiment_name,
-                double_precision=driver_config.do_write_double_precision)
+    if driver_config.do_save_net_fluxes:
+        save_net_fluxes(output_path, config, flux,
+                        inp.thermodynamics.pressure_hl,
+                        experiment_name=driver_config.experiment_name,
+                        double_precision=(
+                            driver_config.do_write_double_precision))
+    else:
+        save_fluxes(output_path, config, flux,
+                    inp.thermodynamics.pressure_hl,
+                    experiment_name=driver_config.experiment_name,
+                    double_precision=driver_config.do_write_double_precision)
     return flux
 
 
@@ -91,9 +206,13 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float64",
                     choices=["float32", "float64"])
     ap.add_argument("--nrepeat", type=int, default=None)
+    ap.add_argument("--generator", default="exact",
+                    choices=["exact", "device"],
+                    help="McICA cloud generator: bit-exact host port or "
+                         "TPU-native counter-based")
     args = ap.parse_args(argv)
     run(args.config, args.input, args.output, dtype=args.dtype,
-        nrepeat=args.nrepeat)
+        nrepeat=args.nrepeat, generator=args.generator)
 
 
 if __name__ == "__main__":

@@ -74,10 +74,9 @@ def setup_radiation(config: Config, data_dir: str = None):
                    or "ecckd-1.4_sw_climate_rgb-32b_ckd-definition.nc")
         lw_file = (config.gas_optics_lw_override_file_name
                    or "ecckd-1.0_lw_climate_fsck-32b_ckd-definition.nc")
-        if not sw_file.startswith("/"):
-            sw_file = _os.path.join(ddir0, sw_file)
-        if not lw_file.startswith("/"):
-            lw_file = _os.path.join(ddir0, lw_file)
+        from ecrad_tpu.data import find_data_file
+        sw_file = find_data_file(ddir0, sw_file)
+        lw_file = find_data_file(ddir0, lw_file)
         t_sw, specdef_sw, meta_sw = ecckd_mod.load_ckd_model(sw_file)
         t_lw, specdef_lw, meta_lw = ecckd_mod.load_ckd_model(lw_file)
         gas_tables = {"sw": t_sw, "lw": t_lw}
@@ -150,6 +149,10 @@ def setup_radiation(config: Config, data_dir: str = None):
 
     kw["do_clouds"] = not (config.sw_solver == Solver.CLOUDLESS
                            and config.lw_solver == Solver.CLOUDLESS)
+    # radiation_config.F90:1351-1356
+    kw["is_homogeneous"] = (
+        (config.do_sw and config.sw_solver == Solver.HOMOGENEOUS)
+        or (config.do_lw and config.lw_solver == Solver.HOMOGENEOUS))
     kw["is_consolidated"] = True
 
     # --- cloud optics + McICA PDF LUT
@@ -179,7 +182,8 @@ def setup_radiation(config: Config, data_dir: str = None):
                 pdf_file = "mcica_gamma.nc"
             else:
                 pdf_file = "mcica_lognormal.nc"
-            with NcFile(_os.path.join(ddir, pdf_file)) as f:
+            from ecrad_tpu.data import find_data_file
+            with NcFile(find_data_file(ddir, pdf_file)) as f:
                 pdf_tables = {"fsd": f.get("fsd"), "val": f.get("x").T}
 
     aerosol_tables = None
@@ -377,6 +381,25 @@ def radiation(config: Config, tables: Tables, *,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives)
+        elif config.lw_solver == Solver.HOMOGENEOUS:
+            # plane-parallel clouds fill the gridbox
+            # (radiation_homogeneous_lw.F90): equivalent to McICA with
+            # od_scaling == 1 and cloud cover 1 for any cloudy profile
+            ones = jnp.ones(od_lw.shape, od_lw.dtype)
+            any_cloud = jnp.any(
+                frac >= config.cloud_fraction_threshold,
+                axis=1).astype(od_lw.dtype)
+            lw = mcica.solver_mcica_lw(
+                od_lw, ssa_lw, g_lw_arr,
+                cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
+                tables.band_from_g_lw, ones, any_cloud,
+                frac, planck_hl, lw_emission, lw_albedo_g,
+                cloud_fraction_threshold=config.cloud_fraction_threshold,
+                do_lw_cloud_scattering=config.do_lw_cloud_scattering,
+                do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
+                do_lw_derivatives=config.do_lw_derivatives)
+            lw = lw._replace(
+                cloud_cover=jnp.full_like(any_cloud, -1.0))
         elif config.lw_solver == Solver.TRIPLECLOUDS:
             lw = tripleclouds.solver_tripleclouds_lw(
                 config, od_lw, ssa_lw, g_lw_arr,
@@ -389,7 +412,8 @@ def radiation(config: Config, tables: Tables, *,
                 f"LW solver {config.lw_solver} not yet implemented")
 
         is_mcica_lw = (config.lw_solver in (Solver.MCICA,
-                                            Solver.TRIPLECLOUDS)
+                                            Solver.TRIPLECLOUDS,
+                                            Solver.HOMOGENEOUS)
                        and do_clouds)
         if is_mcica_lw:
             flux_kw.update(
@@ -457,6 +481,35 @@ def radiation(config: Config, tables: Tables, *,
             sw_dn_direct_g = sw.flux_dn_direct_g
             sw_up_clear_g, sw_dn_clear_g = sw_up_g, sw_dn_g
             sw_dn_direct_clear_g = sw_dn_direct_g
+        elif config.sw_solver == Solver.HOMOGENEOUS:
+            ones = jnp.ones(od_sw.shape, od_sw.dtype)
+            any_cloud = jnp.any(
+                frac >= config.cloud_fraction_threshold,
+                axis=1).astype(od_sw.dtype)
+            sw = mcica.solver_mcica_sw(
+                od_sw, ssa_sw, g_sw_arr,
+                cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
+                tables.band_from_g_sw, ones, any_cloud,
+                frac, go.incoming_sw, cos_sza,
+                sw_albedo_diffuse_g, sw_albedo_direct_g,
+                cloud_fraction_threshold=config.cloud_fraction_threshold,
+                do_sw_delta_scaling_with_gases=(
+                    config.do_sw_delta_scaling_with_gases))
+            sw = sw._replace(cloud_cover=jnp.full_like(any_cloud, -1.0))
+            sw_up, sw_dn = sw.flux_up, sw.flux_dn
+            sw_dn_direct = sw.flux_dn_direct
+            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
+            sw_dn_direct_clear = sw.flux_dn_direct_clear
+            cloud_cover_sw = sw.cloud_cover
+            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
+            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
+            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
+            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
+            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
+            sw_dn_direct_g = sw.flux_dn_direct_g
+            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
+                                            sw.flux_dn_clear_g)
+            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
         elif config.sw_solver == Solver.TRIPLECLOUDS:
             sw = tripleclouds.solver_tripleclouds_sw(
                 config, od_sw, ssa_sw, g_sw_arr,

@@ -164,3 +164,96 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                 long_name="Total cloud cover diagnosed by shortwave solver",
                 dtype=dt)
     w.close()
+
+
+def save_net_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
+                    experiment_name: str = "",
+                    double_precision: bool = False):
+    """Net-flux output variant (radiation_save.F90:464-714
+    save_net_fluxes): net flux profiles + surface/TOA values, as used by
+    the IFS-style driver validation."""
+    dt = "f8" if double_precision else "f4"
+    w = NcWriter(path)
+    w.set_global_attr("title",
+                      "Radiative flux profiles from the ecrad_tpu "
+                      "offline radiation scheme")
+    if experiment_name:
+        w.set_global_attr("experiment", experiment_name)
+
+    def arr(x):
+        return np.asarray(x)
+
+    w.write("pressure_hl", arr(pressure_hl), ("column", "half_level"),
+            units="Pa", long_name="Pressure", dtype=dt)
+    if config.do_lw:
+        w.write("flux_net_lw", arr(flux.lw_dn - flux.lw_up),
+                ("column", "half_level"), units="W m-2",
+                long_name="Net downward longwave flux", dtype=dt)
+        w.write("flux_dn_lw_surf", arr(flux.lw_dn[:, -1]), ("column",),
+                units="W m-2",
+                long_name="Surface downwelling longwave flux", dtype=dt)
+        if config.do_clear:
+            w.write("flux_net_lw_clear",
+                    arr(flux.lw_dn_clear - flux.lw_up_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Net downward clear-sky longwave flux",
+                    dtype=dt)
+            w.write("flux_dn_lw_clear_surf", arr(flux.lw_dn_clear[:, -1]),
+                    ("column",), units="W m-2",
+                    long_name="Surface downwelling clear-sky longwave "
+                              "flux", dtype=dt)
+        if config.do_lw_derivatives and flux.lw_derivatives is not None:
+            w.write("lw_derivative", arr(flux.lw_derivatives),
+                    ("column", "half_level"),
+                    long_name="Derivative of upwelling longwave flux "
+                              "w.r.t. surface value", dtype=dt)
+        if config.do_canopy_fluxes_lw and flux.lw_dn_surf_canopy is not None:
+            w.write("canopy_flux_dn_lw_surf", arr(flux.lw_dn_surf_canopy),
+                    ("column", "canopy_band_lw"), units="W m-2",
+                    long_name="Surface downwelling longwave flux in "
+                              "canopy bands", dtype=dt)
+    if config.do_sw:
+        w.write("flux_net_sw", arr(flux.sw_dn - flux.sw_up),
+                ("column", "half_level"), units="W m-2",
+                long_name="Net downward shortwave flux", dtype=dt)
+        w.write("flux_dn_sw_surf", arr(flux.sw_dn[:, -1]), ("column",),
+                units="W m-2",
+                long_name="Surface downwelling shortwave flux", dtype=dt)
+        w.write("flux_dn_sw_toa", arr(flux.sw_dn[:, 0]), ("column",),
+                units="W m-2",
+                long_name="TOA downwelling shortwave flux", dtype=dt)
+        if config.do_sw_direct and flux.sw_dn_direct is not None:
+            w.write("flux_dn_direct_sw_surf",
+                    arr(flux.sw_dn_direct[:, -1]), ("column",),
+                    units="W m-2",
+                    long_name="Surface downwelling direct shortwave "
+                              "flux", dtype=dt)
+        if config.do_clear:
+            w.write("flux_net_sw_clear",
+                    arr(flux.sw_dn_clear - flux.sw_up_clear),
+                    ("column", "half_level"), units="W m-2",
+                    long_name="Net downward clear-sky shortwave flux",
+                    dtype=dt)
+            w.write("flux_dn_sw_clear_surf", arr(flux.sw_dn_clear[:, -1]),
+                    ("column",), units="W m-2",
+                    long_name="Surface downwelling clear-sky shortwave "
+                              "flux", dtype=dt)
+            if config.do_sw_direct and flux.sw_dn_direct_clear is not None:
+                w.write("flux_dn_direct_sw_clear_surf",
+                        arr(flux.sw_dn_direct_clear[:, -1]), ("column",),
+                        units="W m-2",
+                        long_name="Surface downwelling clear-sky direct "
+                                  "shortwave flux", dtype=dt)
+        if config.do_canopy_fluxes_sw \
+                and flux.sw_dn_diffuse_surf_canopy is not None:
+            w.write("canopy_flux_dn_diffuse_sw_surf",
+                    arr(flux.sw_dn_diffuse_surf_canopy),
+                    ("column", "canopy_band_sw"), units="W m-2",
+                    long_name="Surface downwelling diffuse shortwave "
+                              "flux in canopy bands", dtype=dt)
+            w.write("canopy_flux_dn_direct_sw_surf",
+                    arr(flux.sw_dn_direct_surf_canopy),
+                    ("column", "canopy_band_sw"), units="W m-2",
+                    long_name="Surface downwelling direct shortwave flux "
+                              "in canopy bands", dtype=dt)
+    w.close()

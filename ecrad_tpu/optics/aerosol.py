@@ -70,15 +70,16 @@ def setup_aerosol_optics(config: Config, data_dir: str,
     """
     from ecrad_tpu.io.netcdf import NcFile
 
+    from ecrad_tpu.data import find_data_file
+
     if config.aerosol_optics_override_file_name:
-        fname = config.aerosol_optics_override_file_name
-        path = fname if fname.startswith("/") else os.path.join(data_dir,
-                                                                fname)
+        path = find_data_file(data_dir,
+                              config.aerosol_optics_override_file_name)
     elif config.use_general_aerosol_optics:
-        path = os.path.join(data_dir, "aerosol_ifs_49R1_20230119.nc")
+        path = find_data_file(data_dir, "aerosol_ifs_49R1_20230119.nc")
     else:
-        path = os.path.join(data_dir,
-                            "aerosol_ifs_rrtm_46R1_with_NI_AM.nc")
+        path = find_data_file(data_dir,
+                              "aerosol_ifs_rrtm_46R1_with_NI_AM.nc")
 
     out = {}
     with NcFile(path) as f:

@@ -47,11 +47,13 @@ def setup_cloud_optics(config: Config, data_dir: str) -> Dict:
     else:
         ice_file = ICE_OPTICS_FILE[config.ice_model]
 
+    from ecrad_tpu.data import find_data_file
+
     out = {}
-    with NcFile(os.path.join(data_dir, liq_file)) as f:
+    with NcFile(find_data_file(data_dir, liq_file)) as f:
         out["liq_coeff_lw"] = f.get("coeff_lw")   # (nband_lw, ncoeff)
         out["liq_coeff_sw"] = f.get("coeff_sw")
-    with NcFile(os.path.join(data_dir, ice_file)) as f:
+    with NcFile(find_data_file(data_dir, ice_file)) as f:
         out["ice_coeff_lw"] = f.get("coeff_lw")
         out["ice_coeff_sw"] = f.get("coeff_sw")
         if f.exists("coeff_gen"):

@@ -88,12 +88,11 @@ def setup_general_cloud_optics(config: Config, data_dir: str,
 
     out = {"type_names": type_names, "sw": [], "lw": []}
     for jtype, name in enumerate(type_names):
-        if name.startswith("/"):
-            fn = name
-        elif name.endswith(".nc"):
-            fn = os.path.join(data_dir, name)
+        from ecrad_tpu.data import find_data_file
+        if name.endswith(".nc") or name.startswith("/"):
+            fn = find_data_file(data_dir, name)
         else:
-            fn = os.path.join(data_dir, name + "_scattering.nc")
+            fn = find_data_file(data_dir, name + "_scattering.nc")
         if config.do_sw:
             out["sw"].append(_setup_one(
                 fn, specdef_sw,
