@@ -36,6 +36,12 @@ def build_cloud_inputs(config, inp, generator="exact"):
         "fractional_std": jnp.asarray(inp.fractional_std),
         "iseed": jnp.asarray(inp.iseed, jnp.int32),
     }
+    if inp.inv_cloud_effective_size is not None:
+        cloud["inv_cloud_effective_size"] = jnp.asarray(
+            inp.inv_cloud_effective_size)
+        if inp.inv_inhom_effective_size is not None:
+            cloud["inv_inhom_effective_size"] = jnp.asarray(
+                inp.inv_inhom_effective_size)
     if Solver.MCICA not in (config.sw_solver, config.lw_solver):
         return cloud
 

@@ -20,8 +20,9 @@ from ecrad_tpu.optics import aerosol as aerosol_mod
 from ecrad_tpu.optics import cloud as cloud_optics_mod
 from ecrad_tpu.optics import ecckd as ecckd_mod
 from ecrad_tpu.optics import general_cloud as general_cloud_mod
+from ecrad_tpu.optics import monochromatic as mono_mod
 from ecrad_tpu.optics import rrtmg, rrtmg_data, spectral
-from ecrad_tpu.solvers import cloudless, mcica, tripleclouds
+from ecrad_tpu.solvers import cloudless, mcica, spartacus, tripleclouds
 
 
 class Tables(NamedTuple):
@@ -99,9 +100,20 @@ def setup_radiation(config: Config, data_dir: str = None):
                           specdef_sw.wavenumber2_band)
         wn1_lw, wn2_lw = (specdef_lw.wavenumber1_band,
                           specdef_lw.wavenumber2_band)
+    elif config.gas_model_sw == GasModel.MONOCHROMATIC:
+        # radiation_monochromatic.F90:20-40: one g-point, one band
+        gas_tables = None
+        kw["n_g_sw"] = kw["n_bands_sw"] = 1
+        kw["n_g_lw"] = kw["n_bands_lw"] = 1
+        kw["do_cloud_aerosol_per_sw_g_point"] = False
+        kw["do_cloud_aerosol_per_lw_g_point"] = False
+        band_from_g_sw = np.zeros(1, np.int32)
+        band_from_g_lw = np.zeros(1, np.int32)
+        wn1_sw = wn2_sw = wn1_lw = wn2_lw = None
     else:
         raise NotImplementedError(
-            "only RRTMG and ecCKD gas optics are implemented")
+            "only RRTMG, ecCKD and monochromatic gas optics are "
+            "implemented")
 
     # --- surface albedo/emissivity interval consolidation
     # (radiation_config.F90:1947-2103)
@@ -113,6 +125,10 @@ def setup_radiation(config: Config, data_dir: str = None):
         sw_albedo_weights = specdef_sw.calc_mapping_from_bands(
             sw_bounds, i_sw_idx,
             use_bands=not config.do_cloud_aerosol_per_sw_g_point)
+    elif wn1_sw is None:
+        # monochromatic: all weight on the first albedo interval
+        sw_albedo_weights = np.zeros((int(max(i_sw_idx)), 1))
+        sw_albedo_weights[0, 0] = 1.0
     else:
         sw_albedo_weights = spectral.calc_mapping_from_bands(
             wn1_sw, wn2_sw, spectral.SOLAR_REFERENCE_TEMPERATURE,
@@ -134,6 +150,9 @@ def setup_radiation(config: Config, data_dir: str = None):
         lw_emiss_weights = specdef_lw.calc_mapping_from_bands(
             lw_bounds, i_lw_idx,
             use_bands=not config.do_cloud_aerosol_per_lw_g_point)
+    elif wn1_lw is None:
+        lw_emiss_weights = np.zeros((int(max(i_lw_idx)), 1))
+        lw_emiss_weights[0, 0] = 1.0
     else:
         lw_emiss_weights = spectral.calc_mapping_from_bands(
             wn1_lw, wn2_lw, spectral.TERRESTRIAL_REFERENCE_TEMPERATURE,
@@ -160,7 +179,9 @@ def setup_radiation(config: Config, data_dir: str = None):
     pdf_tables = None
     if kw["do_clouds"]:
         ddir = data_dir or config.directory_name
-        if config.use_general_cloud_optics:
+        if config.gas_model_sw == GasModel.MONOCHROMATIC:
+            pass  # monochromatic cloud optics needs no tables
+        elif config.use_general_cloud_optics:
             if specdef_sw is None:
                 raise NotImplementedError(
                     "general cloud optics requires a spectral definition "
@@ -244,6 +265,30 @@ def get_albedos(config: Config, tables: Tables, sw_albedo,
     return sw_albedo_direct_g, sw_albedo_diffuse_g, lw_albedo_g
 
 
+def _spartacus_perm(config: Config, is_sw: bool) -> np.ndarray:
+    """G-point permutation for SPARTACUS: RRTMG g-points are reordered by
+    approximately increasing optical depth (radiation_ifs_rrtm.F90:117-134);
+    other gas models use natural order."""
+    gm = config.gas_model_sw if is_sw else config.gas_model_lw
+    ng = config.n_g_sw if is_sw else config.n_g_lw
+    if gm == GasModel.RRTMG:
+        return (rrtmg_data.RRTM_GPOINT_REORDERING_SW if is_sw
+                else rrtmg_data.RRTM_GPOINT_REORDERING_LW)
+    return np.arange(ng, dtype=np.int32)
+
+
+def _unpermute_g_fields(out, perm: np.ndarray):
+    """Restore natural g order in a solver output's *_g fields so the
+    generic band/canopy post-processing applies unchanged."""
+    inv = np.argsort(perm)
+    rep = {}
+    for f in out._fields:
+        v = getattr(out, f)
+        if v is not None and f.endswith("_g"):
+            rep[f] = jnp.take(v, jnp.asarray(inv), axis=-1)
+    return out._replace(**rep)
+
+
 def indexed_sum_g(x_g, band_from_g, nbands: int):
     """Sum g-point array into bands along the last axis
     (radiation_flux.F90 indexed_sum). band_from_g 0-based."""
@@ -279,6 +324,18 @@ def radiation(config: Config, tables: Tables, *,
             solar_irradiance=solar_irradiance,
             min_gas_od_lw=config.min_gas_od_lw,
             min_gas_od_sw=config.min_gas_od_sw)
+    elif config.gas_model_sw == GasModel.MONOCHROMATIC:
+        mono_out = mono_mod.gas_optics(
+            config, pressure_hl, temperature_hl, skin_temperature,
+            solar_irradiance)
+        go = rrtmg.RRTMGGasOptics(
+            od_lw=mono_out["od_lw"] if config.do_lw else None,
+            planck_hl=mono_out["planck_hl"] if config.do_lw else None,
+            lw_emission=mono_out["lw_emission"] if config.do_lw else None,
+            od_sw=mono_out["od_sw"] if config.do_sw else None,
+            ssa_sw=mono_out["ssa_sw"] if config.do_sw else None,
+            incoming_sw=(mono_out["incoming_sw"]
+                         if config.do_sw else None))
     else:
         # ecCKD backend (radiation_ecckd_interface.F90:174-340):
         # pressure-weighted full-level temperature, gases in VMR
@@ -324,7 +381,8 @@ def radiation(config: Config, tables: Tables, *,
         g_sw_arr = jnp.zeros_like(od_sw)
 
     if config.use_aerosols and aerosol is not None \
-            and tables.aerosol is not None:
+            and tables.aerosol is not None \
+            and config.gas_model_sw != GasModel.MONOCHROMATIC:
         # RH-dependent aerosol merge (radiation_aerosol_optics.F90:487+)
         p_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
         t_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
@@ -346,7 +404,11 @@ def radiation(config: Config, tables: Tables, *,
         keep = ((cloud["fraction"] >= config.cloud_fraction_threshold)
                 & (total_water >= config.cloud_mixing_ratio_threshold))
         frac = jnp.where(keep, cloud["fraction"], 0.0)
-        if config.use_general_cloud_optics:
+        if config.gas_model_sw == GasModel.MONOCHROMATIC:
+            cl = mono_mod.cloud_optics(
+                config, pressure_hl, frac, cloud["q_liq"], cloud["q_ice"],
+                cloud["re_liq"], cloud["re_ice"])
+        elif config.use_general_cloud_optics:
             mixing_ratio = jnp.stack([cloud["q_liq"], cloud["q_ice"]],
                                      axis=-1)
             reff = jnp.stack([cloud["re_liq"], cloud["re_ice"]], axis=-1)
@@ -407,12 +469,27 @@ def radiation(config: Config, tables: Tables, *,
                 tables.band_from_g_lw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], planck_hl, lw_emission,
                 lw_albedo_g)
+        elif config.lw_solver == Solver.SPARTACUS:
+            perm = _spartacus_perm(config, is_sw=False)
+            pj = jnp.asarray(perm)
+            take = lambda a: jnp.take(a, pj, axis=-1)
+            lw = spartacus.solver_spartacus_lw(
+                config, take(od_lw), take(ssa_lw), take(g_lw_arr),
+                cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
+                np.asarray(tables.band_from_g_lw)[perm],
+                frac, cloud["fractional_std"], cloud["overlap_param"],
+                cloud["inv_cloud_effective_size"],
+                cloud.get("inv_inhom_effective_size"),
+                pressure_hl, temperature_hl,
+                take(planck_hl), take(lw_emission), take(lw_albedo_g))
+            lw = _unpermute_g_fields(lw, perm)
         else:
             raise NotImplementedError(
                 f"LW solver {config.lw_solver} not yet implemented")
 
         is_mcica_lw = (config.lw_solver in (Solver.MCICA,
                                             Solver.TRIPLECLOUDS,
+                                            Solver.SPARTACUS,
                                             Solver.HOMOGENEOUS)
                        and do_clouds)
         if is_mcica_lw:
@@ -517,6 +594,35 @@ def radiation(config: Config, tables: Tables, *,
                 tables.band_from_g_sw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], go.incoming_sw, cos_sza,
                 sw_albedo_diffuse_g, sw_albedo_direct_g)
+            sw_up, sw_dn = sw.flux_up, sw.flux_dn
+            sw_dn_direct = sw.flux_dn_direct
+            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
+            sw_dn_direct_clear = sw.flux_dn_direct_clear
+            cloud_cover_sw = sw.cloud_cover
+            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
+            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
+            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
+            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
+            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
+            sw_dn_direct_g = sw.flux_dn_direct_g
+            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
+                                            sw.flux_dn_clear_g)
+            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
+        elif config.sw_solver == Solver.SPARTACUS:
+            perm = _spartacus_perm(config, is_sw=True)
+            pj = jnp.asarray(perm)
+            take = lambda a: jnp.take(a, pj, axis=-1)
+            sw = spartacus.solver_spartacus_sw(
+                config, take(od_sw), take(ssa_sw), take(g_sw_arr),
+                cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
+                np.asarray(tables.band_from_g_sw)[perm],
+                frac, cloud["fractional_std"], cloud["overlap_param"],
+                cloud["inv_cloud_effective_size"],
+                cloud.get("inv_inhom_effective_size"),
+                pressure_hl, temperature_hl,
+                take(go.incoming_sw), cos_sza,
+                take(sw_albedo_diffuse_g), take(sw_albedo_direct_g))
+            sw = _unpermute_g_fields(sw, perm)
             sw_up, sw_dn = sw.flux_up, sw.flux_dn
             sw_dn_direct = sw.flux_dn_direct
             sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear

@@ -138,23 +138,11 @@ def compute_overlap_param(pressure_hl, temperature_hl, decorr_length_m):
     return np.exp(-np.maximum(dz, 0.0) / decorr_length_m)
 
 
-def param_cloud_effective_separation_eta(
-        pressure_hl, separation_surf, separation_toa, power,
-        inhom_separation_factor):
-    """Effective cloud separation as a function of eta
-    (radiation_cloud.F90 param_cloud_effective_separation_eta):
-      separation = surf_value^(eta^power) * toa_value^(1-eta^power)
-    then inv_cloud_effective_size = cloud_separation_exponent/separation.
-    Returns (inv_cloud_eff_size, inv_inhom_eff_size), each (ncol, nlev).
-    """
-    eta_hl = _eta(pressure_hl)
-    eta_fl = 0.5 * (eta_hl[:, :-1] + eta_hl[:, 1:])
-    frac = eta_fl ** power
-    separation = ((separation_surf ** frac)
-                  * (separation_toa ** (1.0 - frac)))
-    inv_cloud = 1.0 / separation
-    inv_inhom = 1.0 / (inhom_separation_factor * separation)
-    return inv_cloud, inv_inhom
+# Cloud effective-size parameterizations live in ecrad_tpu.cloud_size
+# (radiation_cloud.F90:496-690); re-exported here for the driver.
+from ecrad_tpu.cloud_size import (                        # noqa: E402
+    inv_cloud_effective_size_eta, inv_size_from_separation,
+    param_cloud_effective_separation_eta)
 
 
 def read_input(path: str, driver_config: Optional[DriverConfig] = None,
@@ -251,22 +239,44 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
                 pressure_hl, temperature_hl, DECORR_LENGTH_DEFAULT)
 
         # --- cloud effective size (SPARTACUS/inhomogeneity geometry)
+        # Precedence per ecrad_driver_read_input.F90:290-465: (1) namelist
+        # eta-band overrides, (2) namelist separation scales, (3) file
+        # inv_cloud_effective_size, (4) file inv_cloud_effective_separation.
         inv_cloud_size = None
         inv_inhom_size = None
-        if dc.cloud_separation_scale_surface > 0.0 \
+        scalable = False
+        if (dc.low_inv_effective_size >= 0.0
+                or dc.middle_inv_effective_size >= 0.0
+                or dc.high_inv_effective_size >= 0.0):
+            inv_cloud_size = inv_cloud_effective_size_eta(
+                pressure_hl, dc.low_inv_effective_size,
+                dc.middle_inv_effective_size,
+                dc.high_inv_effective_size, 0.8, 0.45)
+        elif dc.cloud_separation_scale_surface > 0.0 \
                 and dc.cloud_separation_scale_toa > 0.0:
             inv_cloud_size, inv_inhom_size = \
                 param_cloud_effective_separation_eta(
-                    pressure_hl,
+                    pressure_hl, cloud_fraction,
                     dc.cloud_separation_scale_surface,
                     dc.cloud_separation_scale_toa,
                     dc.cloud_separation_scale_power,
                     dc.cloud_inhom_separation_factor)
         elif f.exists("inv_cloud_effective_size"):
+            scalable = True
             inv_cloud_size = f.get("inv_cloud_effective_size", dtype)
             if f.exists("inv_inhom_effective_size"):
                 inv_inhom_size = f.get("inv_inhom_effective_size", dtype)
-        if inv_cloud_size is not None and dc.effective_size_scaling > 0.0:
+        elif f.exists("inv_cloud_effective_separation"):
+            scalable = True
+            sep = f.get("inv_cloud_effective_separation", dtype)
+            isep = (f.get("inv_inhom_effective_separation", dtype)
+                    if f.exists("inv_inhom_effective_separation")
+                    else None)
+            inv_cloud_size, inv_inhom_size = inv_size_from_separation(
+                cloud_fraction, sep, isep,
+                inhom_separation_factor=dc.cloud_inhom_separation_factor)
+        if scalable and inv_cloud_size is not None \
+                and dc.effective_size_scaling > 0.0:
             inv_cloud_size = inv_cloud_size / dc.effective_size_scaling
             if inv_inhom_size is not None:
                 inv_inhom_size = inv_inhom_size / dc.effective_size_scaling

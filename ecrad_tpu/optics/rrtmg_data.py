@@ -80,3 +80,30 @@ def band_from_g_lw(path: str = _NPZ_PATH) -> np.ndarray:
 
 def band_from_g_sw(path: str = _NPZ_PATH) -> np.ndarray:
     return load_tables(path)["sw_band_from_g"]
+
+
+# G-point reordering by approximately increasing gas optical depth, used by
+# the SPARTACUS solvers so the 3D (matrix-exponential) treatment applies to
+# an optically-thin prefix of the spectrum
+# (radiation_ifs_rrtm.F90:51-67, RRTM_GPOINT_REORDERING_LW/SW; 0-based
+# here: entry i gives the original g-point index of reordered point i).
+RRTM_GPOINT_REORDERING_LW = np.array([
+    89, 90, 139, 77, 137, 69, 131, 97, 91, 70, 78, 71, 53, 72, 123, 54,
+    79, 98, 92, 55, 80, 132, 124, 81, 73, 56, 99, 82, 57, 23, 125, 100,
+    24, 74, 93, 58, 25, 83, 126, 75, 26, 11, 101, 133, 59, 27, 76, 140,
+    12, 84, 102, 94, 28, 127, 85, 13, 39, 60, 86, 103, 87, 109, 14, 29,
+    115, 40, 95, 15, 61, 88, 41, 110, 104, 1, 116, 42, 30, 134, 128, 138,
+    96, 62, 16, 43, 117, 63, 111, 44, 2, 64, 31, 65, 105, 17, 45, 66,
+    118, 32, 3, 33, 67, 18, 129, 135, 46, 112, 34, 106, 68, 35, 4, 119,
+    36, 47, 107, 19, 37, 38, 113, 48, 130, 5, 120, 49, 108, 20, 50, 51,
+    114, 21, 121, 52, 136, 122, 6, 22, 7, 8, 9, 10], dtype=np.int32) - 1
+
+RRTM_GPOINT_REORDERING_SW = np.array([
+    35, 45, 19, 27, 36, 57, 20, 46, 58, 21, 28, 67, 55, 68, 37, 1, 69,
+    22, 29, 59, 78, 101, 79, 77, 70, 76, 47, 75, 30, 81, 60, 102, 80,
+    82, 23, 2, 83, 84, 85, 86, 103, 61, 31, 87, 56, 38, 71, 48, 88, 3,
+    62, 89, 24, 7, 49, 32, 104, 72, 90, 63, 39, 4, 8, 50, 91, 64, 40,
+    33, 25, 51, 95, 96, 73, 65, 9, 41, 97, 92, 105, 52, 5, 98, 10, 42,
+    99, 100, 66, 11, 74, 34, 53, 26, 6, 106, 12, 43, 13, 54, 93, 44,
+    107, 94, 14, 108, 15, 16, 109, 17, 18, 110, 111, 112],
+    dtype=np.int32) - 1

@@ -54,6 +54,12 @@ def make_cloud_inputs(config, inp):
         "overlap_param": jnp.asarray(inp.overlap_param),
         "fractional_std": jnp.asarray(inp.fractional_std),
     }
+    if inp.inv_cloud_effective_size is not None:
+        cloud["inv_cloud_effective_size"] = jnp.asarray(
+            inp.inv_cloud_effective_size)
+        if inp.inv_inhom_effective_size is not None:
+            cloud["inv_inhom_effective_size"] = jnp.asarray(
+                inp.inv_inhom_effective_size)
     if Solver.MCICA in (config.sw_solver, config.lw_solver):
         from ecrad_tpu.io.netcdf import NcFile
         from ecrad_tpu.config import PdfShape
