@@ -46,74 +46,105 @@ def setup_radiation(config: Config, data_dir: str = None):
     data_dir overrides config.directory_name for locating optics files.
     Returns (consolidated config, Tables).
     """
-    if config.gas_model_sw != config.gas_model_lw:
+    if (GasModel.MONOCHROMATIC in (config.gas_model_sw,
+                                   config.gas_model_lw)
+            and config.gas_model_sw != config.gas_model_lw):
         raise NotImplementedError(
-            "mixed SW/LW gas models not yet supported")
+            "monochromatic gas optics cannot be mixed with other models")
 
     kw = {}
-    gas_meta = None
+    gas_meta = {}
+    gas_tables = {}
     specdef_sw = specdef_lw = None
+    from ecrad_tpu.optics.spectral_def import SpectralDefinition
 
+    if GasModel.RRTMG in (config.gas_model_sw, config.gas_model_lw):
+        gas_tables["rrtmg"] = rrtmg.setup_tables()
+    ddir0 = data_dir or config.directory_name
+    from ecrad_tpu.data import find_data_file
+
+    # --- shortwave band structure
     if config.gas_model_sw == GasModel.RRTMG:
-        gas_tables = rrtmg.setup_tables()
         kw["n_g_sw"] = rrtmg_data.NG_SW
         kw["n_bands_sw"] = rrtmg_data.NBANDS_SW
-        kw["n_g_lw"] = rrtmg_data.NG_LW
-        kw["n_bands_lw"] = rrtmg_data.NBANDS_LW
         # RRTMG supports only band-wise cloud/aerosol/surface optics
         # (radiation_ifs_rrtm.F90:106-107,151-152)
         kw["do_cloud_aerosol_per_sw_g_point"] = False
-        kw["do_cloud_aerosol_per_lw_g_point"] = False
-        band_from_g_sw = gas_tables["sw_band_from_g"]
-        band_from_g_lw = gas_tables["lw_band_from_g"]
+        band_from_g_sw = gas_tables["rrtmg"]["sw_band_from_g"]
         wn1_sw, wn2_sw = rrtmg_data.SW_WAVENUM1, rrtmg_data.SW_WAVENUM2
-        wn1_lw, wn2_lw = rrtmg_data.LW_WAVENUM1, rrtmg_data.LW_WAVENUM2
+        # band-bounds-only spectral definition
+        # (radiation_ifs_rrtm.F90:111-115)
+        specdef_sw = SpectralDefinition.bands_only(wn1_sw, wn2_sw,
+                                                   is_solar=True)
     elif config.gas_model_sw == GasModel.ECCKD:
-        import os as _os
-        ddir0 = data_dir or config.directory_name
         sw_file = (config.gas_optics_sw_override_file_name
                    or "ecckd-1.4_sw_climate_rgb-32b_ckd-definition.nc")
-        lw_file = (config.gas_optics_lw_override_file_name
-                   or "ecckd-1.0_lw_climate_fsck-32b_ckd-definition.nc")
-        from ecrad_tpu.data import find_data_file
         sw_file = find_data_file(ddir0, sw_file)
-        lw_file = find_data_file(ddir0, lw_file)
         t_sw, specdef_sw, meta_sw = ecckd_mod.load_ckd_model(sw_file)
-        t_lw, specdef_lw, meta_lw = ecckd_mod.load_ckd_model(lw_file)
-        gas_tables = {"sw": t_sw, "lw": t_lw}
-        gas_meta = {"sw": meta_sw, "lw": meta_lw}
+        gas_tables["sw"] = t_sw
+        gas_meta["sw"] = meta_sw
         kw["n_g_sw"] = specdef_sw.ng
-        kw["n_g_lw"] = specdef_lw.ng
         if config.do_cloud_aerosol_per_sw_g_point:
             kw["n_bands_sw"] = specdef_sw.ng
             band_from_g_sw = np.arange(specdef_sw.ng)
         else:
             kw["n_bands_sw"] = specdef_sw.nband
             band_from_g_sw = specdef_sw.band_number
+        wn1_sw, wn2_sw = (specdef_sw.wavenumber1_band,
+                          specdef_sw.wavenumber2_band)
+    elif config.gas_model_sw == GasModel.MONOCHROMATIC:
+        # radiation_monochromatic.F90:20-40: one g-point, one band
+        kw["n_g_sw"] = kw["n_bands_sw"] = 1
+        kw["do_cloud_aerosol_per_sw_g_point"] = False
+        band_from_g_sw = np.zeros(1, np.int32)
+        wn1_sw = wn2_sw = None
+    else:
+        raise NotImplementedError(
+            "only RRTMG, ecCKD and monochromatic gas optics are "
+            "implemented")
+
+    # --- longwave band structure
+    if config.gas_model_lw == GasModel.RRTMG:
+        kw["n_g_lw"] = rrtmg_data.NG_LW
+        kw["n_bands_lw"] = rrtmg_data.NBANDS_LW
+        kw["do_cloud_aerosol_per_lw_g_point"] = False
+        band_from_g_lw = gas_tables["rrtmg"]["lw_band_from_g"]
+        wn1_lw, wn2_lw = rrtmg_data.LW_WAVENUM1, rrtmg_data.LW_WAVENUM2
+        specdef_lw = SpectralDefinition.bands_only(wn1_lw, wn2_lw,
+                                                   is_solar=False)
+    elif config.gas_model_lw == GasModel.ECCKD:
+        lw_file = (config.gas_optics_lw_override_file_name
+                   or "ecckd-1.0_lw_climate_fsck-32b_ckd-definition.nc")
+        lw_file = find_data_file(ddir0, lw_file)
+        t_lw, specdef_lw, meta_lw = ecckd_mod.load_ckd_model(lw_file)
+        gas_tables["lw"] = t_lw
+        gas_meta["lw"] = meta_lw
+        kw["n_g_lw"] = specdef_lw.ng
         if config.do_cloud_aerosol_per_lw_g_point:
             kw["n_bands_lw"] = specdef_lw.ng
             band_from_g_lw = np.arange(specdef_lw.ng)
         else:
             kw["n_bands_lw"] = specdef_lw.nband
             band_from_g_lw = specdef_lw.band_number
-        wn1_sw, wn2_sw = (specdef_sw.wavenumber1_band,
-                          specdef_sw.wavenumber2_band)
         wn1_lw, wn2_lw = (specdef_lw.wavenumber1_band,
                           specdef_lw.wavenumber2_band)
-    elif config.gas_model_sw == GasModel.MONOCHROMATIC:
-        # radiation_monochromatic.F90:20-40: one g-point, one band
-        gas_tables = None
-        kw["n_g_sw"] = kw["n_bands_sw"] = 1
+    elif config.gas_model_lw == GasModel.MONOCHROMATIC:
         kw["n_g_lw"] = kw["n_bands_lw"] = 1
-        kw["do_cloud_aerosol_per_sw_g_point"] = False
         kw["do_cloud_aerosol_per_lw_g_point"] = False
-        band_from_g_sw = np.zeros(1, np.int32)
         band_from_g_lw = np.zeros(1, np.int32)
-        wn1_sw = wn2_sw = wn1_lw = wn2_lw = None
+        wn1_lw = wn2_lw = None
     else:
         raise NotImplementedError(
             "only RRTMG, ecCKD and monochromatic gas optics are "
             "implemented")
+
+    if config.gas_model_sw == GasModel.MONOCHROMATIC:
+        gas_tables = None
+        specdef_sw = specdef_lw = None
+
+    # apply the band-structure consolidation now so downstream setup
+    # (surface weights, cloud/aerosol tables) sees the forced flags
+    config = config.replace(**kw)
 
     # --- surface albedo/emissivity interval consolidation
     # (radiation_config.F90:1947-2103)
@@ -316,15 +347,7 @@ def radiation(config: Config, tables: Tables, *,
              for name in ("h2o", "co2", "ch4", "n2o", "cfc11", "cfc12",
                           "hcfc22", "ccl4", "o3")}
 
-    if config.gas_model_sw == GasModel.RRTMG:
-        go = rrtmg.gas_optics(
-            tables.gas, pressure_hl, temperature_hl, gdict,
-            cos_sza=cos_sza, do_lw=config.do_lw, do_sw=config.do_sw,
-            skin_temperature=skin_temperature,
-            solar_irradiance=solar_irradiance,
-            min_gas_od_lw=config.min_gas_od_lw,
-            min_gas_od_sw=config.min_gas_od_sw)
-    elif config.gas_model_sw == GasModel.MONOCHROMATIC:
+    if config.gas_model_sw == GasModel.MONOCHROMATIC:
         mono_out = mono_mod.gas_optics(
             config, pressure_hl, temperature_hl, skin_temperature,
             solar_irradiance)
@@ -337,38 +360,60 @@ def radiation(config: Config, tables: Tables, *,
             incoming_sw=(mono_out["incoming_sw"]
                          if config.do_sw else None))
     else:
-        # ecCKD backend (radiation_ecckd_interface.F90:174-340):
-        # pressure-weighted full-level temperature, gases in VMR
-        phl = pressure_hl
-        thl = temperature_hl
-        t_fl = ((thl[:, :-1] * phl[:, :-1] + thl[:, 1:] * phl[:, 1:])
-                / (phl[:, :-1] + phl[:, 1:]))
-        gas_vmr = {name: mmr * (constants.MOLAR_MASS_DRY_AIR
-                                / constants.MOLAR_MASS[name])
-                   for name, mmr in gdict.items()}
+        # RRTMG and/or ecCKD, possibly mixed per band
+        # (radiation_interface.F90 gas_optics dispatch)
         go_kw = {}
-        if config.do_sw:
-            od_sw_g, ray = ecckd_mod.calc_optical_depth(
-                tables.gas["sw"], tables.gas_meta["sw"], phl, t_fl,
-                gas_vmr)
-            od_sw_tot = od_sw_g + ray
-            go_kw["od_sw"] = od_sw_tot
-            go_kw["ssa_sw"] = ray / od_sw_tot
-            inc = ecckd_mod.calc_incoming_sw(
-                tables.gas["sw"], tables.gas_meta["sw"],
-                solar_irradiance, phl.shape[0])
-            go_kw["incoming_sw"] = jnp.where((cos_sza > 0.0)[:, None],
-                                             inc, 0.0)
-        if config.do_lw:
-            od_lw_g, _ = ecckd_mod.calc_optical_depth(
-                tables.gas["lw"], tables.gas_meta["lw"], phl, t_fl,
-                gas_vmr)
-            go_kw["od_lw"] = jnp.maximum(od_lw_g, config.min_gas_od_lw)
-            go_kw["planck_hl"] = ecckd_mod.calc_planck(
-                tables.gas["lw"], tables.gas_meta["lw"], thl)
-            go_kw["lw_emission"] = ecckd_mod.calc_planck(
-                tables.gas["lw"], tables.gas_meta["lw"],
-                skin_temperature)
+        do_lw_rrtmg = (config.do_lw
+                       and config.gas_model_lw == GasModel.RRTMG)
+        do_sw_rrtmg = (config.do_sw
+                       and config.gas_model_sw == GasModel.RRTMG)
+        if do_lw_rrtmg or do_sw_rrtmg:
+            r = rrtmg.gas_optics(
+                tables.gas["rrtmg"], pressure_hl, temperature_hl, gdict,
+                cos_sza=cos_sza, do_lw=do_lw_rrtmg, do_sw=do_sw_rrtmg,
+                skin_temperature=skin_temperature,
+                solar_irradiance=solar_irradiance,
+                min_gas_od_lw=config.min_gas_od_lw,
+                min_gas_od_sw=config.min_gas_od_sw)
+            if do_lw_rrtmg:
+                go_kw.update(od_lw=r.od_lw, planck_hl=r.planck_hl,
+                             lw_emission=r.lw_emission)
+            if do_sw_rrtmg:
+                go_kw.update(od_sw=r.od_sw, ssa_sw=r.ssa_sw,
+                             incoming_sw=r.incoming_sw)
+        if GasModel.ECCKD in (config.gas_model_sw, config.gas_model_lw):
+            # ecCKD backend (radiation_ecckd_interface.F90:174-340):
+            # pressure-weighted full-level temperature, gases in VMR
+            phl = pressure_hl
+            thl = temperature_hl
+            t_fl = ((thl[:, :-1] * phl[:, :-1] + thl[:, 1:] * phl[:, 1:])
+                    / (phl[:, :-1] + phl[:, 1:]))
+            gas_vmr = {name: mmr * (constants.MOLAR_MASS_DRY_AIR
+                                    / constants.MOLAR_MASS[name])
+                       for name, mmr in gdict.items()}
+            if config.do_sw and config.gas_model_sw == GasModel.ECCKD:
+                od_sw_g, ray = ecckd_mod.calc_optical_depth(
+                    tables.gas["sw"], tables.gas_meta["sw"], phl, t_fl,
+                    gas_vmr)
+                od_sw_tot = od_sw_g + ray
+                go_kw["od_sw"] = od_sw_tot
+                go_kw["ssa_sw"] = ray / od_sw_tot
+                inc = ecckd_mod.calc_incoming_sw(
+                    tables.gas["sw"], tables.gas_meta["sw"],
+                    solar_irradiance, phl.shape[0])
+                go_kw["incoming_sw"] = jnp.where(
+                    (cos_sza > 0.0)[:, None], inc, 0.0)
+            if config.do_lw and config.gas_model_lw == GasModel.ECCKD:
+                od_lw_g, _ = ecckd_mod.calc_optical_depth(
+                    tables.gas["lw"], tables.gas_meta["lw"], phl, t_fl,
+                    gas_vmr)
+                go_kw["od_lw"] = jnp.maximum(od_lw_g,
+                                             config.min_gas_od_lw)
+                go_kw["planck_hl"] = ecckd_mod.calc_planck(
+                    tables.gas["lw"], tables.gas_meta["lw"], thl)
+                go_kw["lw_emission"] = ecckd_mod.calc_planck(
+                    tables.gas["lw"], tables.gas_meta["lw"],
+                    skin_temperature)
         go = rrtmg.RRTMGGasOptics(**go_kw)
 
     # --- gas + aerosol optical properties

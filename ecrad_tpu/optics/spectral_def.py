@@ -39,6 +39,22 @@ class SpectralDefinition:
             else TERRESTRIAL_REFERENCE_TEMPERATURE)
 
     @classmethod
+    def bands_only(cls, wavenumber1_band, wavenumber2_band, is_solar):
+        """Band-bounds-only definition, as the RRTMG gas optics allocates
+        (radiation_spectral_definition.F90 allocate_bands_only, called at
+        radiation_ifs_rrtm.F90:111-115,155-159).  One pseudo-g-point per
+        band so band-wise mappings work unchanged."""
+        nband = len(wavenumber1_band)
+        sd = cls(wavenumber1_band, wavenumber2_band, np.eye(nband),
+                 wavenumber1_band, wavenumber2_band, np.arange(nband),
+                 solar_irradiance=(1.0 if is_solar else None))
+        sd.solar_irradiance = None
+        sd.reference_temperature = (
+            SOLAR_REFERENCE_TEMPERATURE if is_solar
+            else TERRESTRIAL_REFERENCE_TEMPERATURE)
+        return sd
+
+    @classmethod
     def from_file(cls, f):
         """Read from an open NcFile (radiation_spectral_definition.F90
         read L91-140)."""
