@@ -555,15 +555,30 @@ def radiation(config: Config, tables: Tables, *,
             lw_up_clear_g, lw_dn_clear_g = lw.flux_up_g, lw.flux_dn_g
         if config.do_lw_derivatives:
             flux_kw["lw_derivatives"] = lw.lw_derivatives
-        if config.do_save_spectral_flux:
+        if config.do_save_spectral_flux or config.do_save_gpoint_flux:
+            # do_save_gpoint_flux makes the spectral axis the g-points
+            # (radiation_config.F90 consolidate: i_spec_from_reordered_g)
+            if config.do_save_gpoint_flux:
+                spec_lw = np.arange(config.n_g_lw)
+                n_spec_lw = config.n_g_lw
+            else:
+                spec_lw = tables.band_from_g_lw
+                n_spec_lw = config.n_bands_lw
             flux_kw["lw_up_band"] = indexed_sum_g(
-                lw_up_g, tables.band_from_g_lw, config.n_bands_lw)
+                lw_up_g, spec_lw, n_spec_lw)
             flux_kw["lw_dn_band"] = indexed_sum_g(
-                lw_dn_g, tables.band_from_g_lw, config.n_bands_lw)
+                lw_dn_g, spec_lw, n_spec_lw)
             flux_kw["lw_up_clear_band"] = indexed_sum_g(
-                lw_up_clear_g, tables.band_from_g_lw, config.n_bands_lw)
+                lw_up_clear_g, spec_lw, n_spec_lw)
             flux_kw["lw_dn_clear_band"] = indexed_sum_g(
-                lw_dn_clear_g, tables.band_from_g_lw, config.n_bands_lw)
+                lw_dn_clear_g, spec_lw, n_spec_lw)
+        if config.do_toa_spectral_flux:
+            # radiation_flux.F90:579-660 calc_toa_spectral
+            flux_kw["lw_up_toa_band"] = indexed_sum_g(
+                lw_up_g[:, 0], tables.band_from_g_lw, config.n_bands_lw)
+            flux_kw["lw_up_toa_clear_band"] = indexed_sum_g(
+                lw_up_clear_g[:, 0], tables.band_from_g_lw,
+                config.n_bands_lw)
         if config.do_canopy_fluxes_lw:
             lw_dn_surf_g = lw_dn_g[:, -1, :]
             if config.use_canopy_full_spectrum_lw:
@@ -735,19 +750,32 @@ def radiation(config: Config, tables: Tables, *,
             flux_kw["sw_dn_surf_clear_band"] = (dir_clear_band
                                                + diff_clear_band)
             flux_kw["sw_dn_direct_surf_clear_band"] = dir_clear_band
-        if config.do_save_spectral_flux:
+        if config.do_save_spectral_flux or config.do_save_gpoint_flux:
+            if config.do_save_gpoint_flux:
+                spec_sw = np.arange(config.n_g_sw)
+                n_spec_sw = config.n_g_sw
+            else:
+                spec_sw = tables.band_from_g_sw
+                n_spec_sw = config.n_bands_sw
             flux_kw["sw_up_band"] = indexed_sum_g(
-                sw_up_g, tables.band_from_g_sw, config.n_bands_sw)
+                sw_up_g, spec_sw, n_spec_sw)
             flux_kw["sw_dn_band"] = indexed_sum_g(
-                sw_dn_g, tables.band_from_g_sw, config.n_bands_sw)
+                sw_dn_g, spec_sw, n_spec_sw)
             flux_kw["sw_dn_direct_band"] = indexed_sum_g(
-                sw_dn_direct_g, tables.band_from_g_sw, config.n_bands_sw)
+                sw_dn_direct_g, spec_sw, n_spec_sw)
             flux_kw["sw_up_clear_band"] = indexed_sum_g(
-                sw_up_clear_g, tables.band_from_g_sw, config.n_bands_sw)
+                sw_up_clear_g, spec_sw, n_spec_sw)
             flux_kw["sw_dn_clear_band"] = indexed_sum_g(
-                sw_dn_clear_g, tables.band_from_g_sw, config.n_bands_sw)
+                sw_dn_clear_g, spec_sw, n_spec_sw)
             flux_kw["sw_dn_direct_clear_band"] = indexed_sum_g(
-                sw_dn_direct_clear_g, tables.band_from_g_sw,
+                sw_dn_direct_clear_g, spec_sw, n_spec_sw)
+        if config.do_toa_spectral_flux:
+            flux_kw["sw_dn_toa_band"] = indexed_sum_g(
+                sw_dn_g[:, 0], tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_up_toa_band"] = indexed_sum_g(
+                sw_up_g[:, 0], tables.band_from_g_sw, config.n_bands_sw)
+            flux_kw["sw_up_toa_clear_band"] = indexed_sum_g(
+                sw_up_clear_g[:, 0], tables.band_from_g_sw,
                 config.n_bands_sw)
         if config.do_canopy_fluxes_sw:
             if config.use_canopy_full_spectrum_sw:

@@ -49,12 +49,24 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                     ("column", "half_level"),
                     long_name="Derivative of upwelling longwave flux "
                               "w.r.t. surface value", dtype=dt)
+        if config.do_toa_spectral_flux and flux.lw_up_toa_band is not None:
+            w.write("spectral_flux_up_lw_toa", arr(flux.lw_up_toa_band),
+                    ("column", "band_lw_toa"), units="W m-2",
+                    long_name="Spectral upwelling longwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            if config.do_clear and flux.lw_up_toa_clear_band is not None:
+                w.write("spectral_flux_up_lw_toa_clear",
+                        arr(flux.lw_up_toa_clear_band),
+                        ("column", "band_lw_toa"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky longwave "
+                                  "flux at top-of-atmosphere", dtype=dt)
         if config.do_canopy_fluxes_lw and flux.lw_dn_surf_canopy is not None:
             w.write("canopy_flux_dn_lw_surf", arr(flux.lw_dn_surf_canopy),
                     ("column", "canopy_band_lw"), units="W m-2",
                     long_name="Surface downwelling longwave flux in "
                               "canopy bands", dtype=dt)
-        if config.do_save_spectral_flux and flux.lw_up_band is not None:
+        spec_flux = config.do_save_spectral_flux or config.do_save_gpoint_flux
+        if spec_flux and flux.lw_up_band is not None:
             w.write("spectral_flux_up_lw", arr(flux.lw_up_band),
                     ("column", "half_level", "band_lw"), units="W m-2",
                     long_name="Spectral upwelling longwave flux", dtype=dt)
@@ -123,7 +135,7 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                             long_name="Spectral downwelling clear-sky "
                                       "direct shortwave flux at surface",
                             dtype=dt)
-        if config.do_save_spectral_flux and flux.sw_up_band is not None:
+        if spec_flux and flux.sw_up_band is not None:
             w.write("spectral_flux_up_sw", arr(flux.sw_up_band),
                     ("column", "half_level", "band_sw"), units="W m-2",
                     long_name="Spectral upwelling shortwave flux", dtype=dt)
@@ -131,6 +143,13 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                     ("column", "half_level", "band_sw"), units="W m-2",
                     long_name="Spectral downwelling shortwave flux",
                     dtype=dt)
+            if config.do_sw_direct and flux.sw_dn_direct_band is not None:
+                w.write("spectral_flux_dn_direct_sw",
+                        arr(flux.sw_dn_direct_band),
+                        ("column", "half_level", "band_sw"),
+                        units="W m-2",
+                        long_name="Spectral downwelling direct shortwave "
+                                  "flux", dtype=dt)
             if config.do_clear and flux.sw_up_clear_band is not None:
                 w.write("spectral_flux_up_sw_clear",
                         arr(flux.sw_up_clear_band),
@@ -142,6 +161,21 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                         ("column", "half_level", "band_sw"), units="W m-2",
                         long_name="Spectral downwelling clear-sky shortwave "
                                   "flux", dtype=dt)
+        if config.do_toa_spectral_flux and flux.sw_up_toa_band is not None:
+            w.write("spectral_flux_dn_sw_toa", arr(flux.sw_dn_toa_band),
+                    ("column", "band_sw_toa"), units="W m-2",
+                    long_name="Spectral downwelling shortwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            w.write("spectral_flux_up_sw_toa", arr(flux.sw_up_toa_band),
+                    ("column", "band_sw_toa"), units="W m-2",
+                    long_name="Spectral upwelling shortwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            if config.do_clear and flux.sw_up_toa_clear_band is not None:
+                w.write("spectral_flux_up_sw_toa_clear",
+                        arr(flux.sw_up_toa_clear_band),
+                        ("column", "band_sw_toa"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky shortwave "
+                                  "flux at top-of-atmosphere", dtype=dt)
         if config.do_canopy_fluxes_sw \
                 and flux.sw_dn_diffuse_surf_canopy is not None:
             w.write("canopy_flux_dn_diffuse_sw_surf",
@@ -207,6 +241,17 @@ def save_net_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                     ("column", "half_level"),
                     long_name="Derivative of upwelling longwave flux "
                               "w.r.t. surface value", dtype=dt)
+        if config.do_toa_spectral_flux and flux.lw_up_toa_band is not None:
+            w.write("spectral_flux_up_lw_toa", arr(flux.lw_up_toa_band),
+                    ("column", "band_lw_toa"), units="W m-2",
+                    long_name="Spectral upwelling longwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            if config.do_clear and flux.lw_up_toa_clear_band is not None:
+                w.write("spectral_flux_up_lw_toa_clear",
+                        arr(flux.lw_up_toa_clear_band),
+                        ("column", "band_lw_toa"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky longwave "
+                                  "flux at top-of-atmosphere", dtype=dt)
         if config.do_canopy_fluxes_lw and flux.lw_dn_surf_canopy is not None:
             w.write("canopy_flux_dn_lw_surf", arr(flux.lw_dn_surf_canopy),
                     ("column", "canopy_band_lw"), units="W m-2",
@@ -244,6 +289,21 @@ def save_net_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                         units="W m-2",
                         long_name="Surface downwelling clear-sky direct "
                                   "shortwave flux", dtype=dt)
+        if config.do_toa_spectral_flux and flux.sw_up_toa_band is not None:
+            w.write("spectral_flux_dn_sw_toa", arr(flux.sw_dn_toa_band),
+                    ("column", "band_sw_toa"), units="W m-2",
+                    long_name="Spectral downwelling shortwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            w.write("spectral_flux_up_sw_toa", arr(flux.sw_up_toa_band),
+                    ("column", "band_sw_toa"), units="W m-2",
+                    long_name="Spectral upwelling shortwave flux at "
+                              "top-of-atmosphere", dtype=dt)
+            if config.do_clear and flux.sw_up_toa_clear_band is not None:
+                w.write("spectral_flux_up_sw_toa_clear",
+                        arr(flux.sw_up_toa_clear_band),
+                        ("column", "band_sw_toa"), units="W m-2",
+                        long_name="Spectral upwelling clear-sky shortwave "
+                                  "flux at top-of-atmosphere", dtype=dt)
         if config.do_canopy_fluxes_sw \
                 and flux.sw_dn_diffuse_surf_canopy is not None:
             w.write("canopy_flux_dn_diffuse_sw_surf",
