@@ -112,6 +112,15 @@ def run(config_path: str, input_path: str, output_path: str,
     config, tables = setup_radiation(config)
     inp = read_input(input_path, driver_config)
 
+    # bounds validation (driver/ecrad_driver.F90:314-323)
+    from ecrad_tpu.check import check_inputs
+    any_bad, inp = check_inputs(
+        inp, do_fix=driver_config.do_correct_unphysical_inputs)
+    if any_bad and not driver_config.do_correct_unphysical_inputs:
+        raise ValueError(
+            "input fields out of physical bounds; set "
+            "do_correct_unphysical_inputs=true to clamp them")
+
     dt = jnp.float64 if dtype == "float64" else jnp.float32
 
     def to_dev(x):
@@ -199,6 +208,26 @@ def run(config_path: str, input_path: str, output_path: str,
                     inp.thermodynamics.pressure_hl,
                     experiment_name=driver_config.experiment_name,
                     double_precision=driver_config.do_write_double_precision)
+
+    # debug dumps (ecrad_driver.F90 do_save_inputs;
+    # radiation_interface do_save_radiative_properties)
+    if driver_config.do_save_inputs:
+        from ecrad_tpu.io.save_extras import save_inputs
+        save_inputs("inputs.nc", config, inp)
+    if config.do_save_radiative_properties:
+        from ecrad_tpu.interface import compute_radiative_properties
+        from ecrad_tpu.io.save_extras import save_radiative_properties
+        props = compute_radiative_properties(
+            config, tables,
+            cloud={k: v for k, v in (cloud or {}).items()
+                   if k != "iseed"} if cloud else None,
+            aerosol=aerosol, solar_irradiance=solar, **{
+                k: kwargs[k] for k in (
+                    "pressure_hl", "temperature_hl", "gas_mmr",
+                    "cos_sza", "skin_temperature", "sw_albedo",
+                    "sw_albedo_direct", "lw_emissivity")})
+        save_radiative_properties("radiative_properties.nc", config,
+                                  props)
     return flux
 
 

@@ -329,17 +329,14 @@ def indexed_sum_g(x_g, band_from_g, nbands: int):
     return x_g @ onehot
 
 
-def radiation(config: Config, tables: Tables, *,
-              pressure_hl, temperature_hl, gas_mmr,
-              cos_sza, skin_temperature, sw_albedo, sw_albedo_direct,
-              lw_emissivity, solar_irradiance,
-              cloud=None, aerosol=None, iseed=None) -> Flux:
-    """The hot path (radiation_interface.F90:200-517). Jit with
-    config static; all array args are traced.
-
-    gas_mmr: (ncol, nlev, NUM_GASES) mass mixing ratios in
-    constants.GAS_NAMES order.
-    """
+def _optical_properties(config: Config, tables: Tables, *,
+                        pressure_hl, temperature_hl, gas_mmr,
+                        cos_sza, skin_temperature, sw_albedo,
+                        sw_albedo_direct, lw_emissivity,
+                        solar_irradiance, cloud=None, aerosol=None):
+    """Surface + gas + aerosol + cloud optical properties — the front
+    half of radiation() (radiation_interface.F90:200-383), shared with
+    compute_radiative_properties for the debug dump."""
     sw_albedo_direct_g, sw_albedo_diffuse_g, lw_albedo_g = get_albedos(
         config, tables, sw_albedo, sw_albedo_direct, lw_emissivity)
 
@@ -465,6 +462,46 @@ def radiation(config: Config, tables: Tables, *,
                 config, tables.cloud, pressure_hl, temperature_hl,
                 frac, cloud["q_liq"], cloud["q_ice"],
                 cloud["re_liq"], cloud["re_ice"])
+
+    return dict(
+        sw_albedo_direct_g=sw_albedo_direct_g,
+        sw_albedo_diffuse_g=sw_albedo_diffuse_g,
+        lw_albedo_g=lw_albedo_g, go=go,
+        od_lw=od_lw if config.do_lw else None,
+        ssa_lw=ssa_lw if config.do_lw else None,
+        g_lw_arr=g_lw_arr if config.do_lw else None,
+        od_sw=od_sw if config.do_sw else None,
+        ssa_sw=ssa_sw if config.do_sw else None,
+        g_sw_arr=g_sw_arr if config.do_sw else None,
+        do_clouds=do_clouds, frac=frac if do_clouds else None,
+        cl=cl if do_clouds else None)
+
+
+def radiation(config: Config, tables: Tables, *,
+              pressure_hl, temperature_hl, gas_mmr,
+              cos_sza, skin_temperature, sw_albedo, sw_albedo_direct,
+              lw_emissivity, solar_irradiance,
+              cloud=None, aerosol=None, iseed=None) -> Flux:
+    """The hot path (radiation_interface.F90:200-517). Jit with
+    config static; all array args are traced.
+
+    gas_mmr: (ncol, nlev, NUM_GASES) mass mixing ratios in
+    constants.GAS_NAMES order.
+    """
+    op = _optical_properties(
+        config, tables, pressure_hl=pressure_hl,
+        temperature_hl=temperature_hl, gas_mmr=gas_mmr, cos_sza=cos_sza,
+        skin_temperature=skin_temperature, sw_albedo=sw_albedo,
+        sw_albedo_direct=sw_albedo_direct, lw_emissivity=lw_emissivity,
+        solar_irradiance=solar_irradiance, cloud=cloud, aerosol=aerosol)
+    sw_albedo_direct_g = op["sw_albedo_direct_g"]
+    sw_albedo_diffuse_g = op["sw_albedo_diffuse_g"]
+    lw_albedo_g = op["lw_albedo_g"]
+    go = op["go"]
+    od_lw, ssa_lw, g_lw_arr = op["od_lw"], op["ssa_lw"], op["g_lw_arr"]
+    od_sw, ssa_sw, g_sw_arr = op["od_sw"], op["ssa_sw"], op["g_sw_arr"]
+    do_clouds, frac, cl = op["do_clouds"], op["frac"], op["cl"]
+    planck_hl = go.planck_hl
 
     flux_kw = {}
 
@@ -804,3 +841,39 @@ def radiation(config: Config, tables: Tables, *,
                                                        - canopy_dir)
 
     return Flux(**flux_kw)
+
+
+def compute_radiative_properties(config: Config, tables: Tables, **kw):
+    """Debug dump of the per-g/band optical properties
+    (radiation_save.F90:716-1025 save_radiative_properties contract).
+    Same keyword inputs as radiation(); returns a dict of arrays."""
+    kw.pop("iseed", None)
+    op = _optical_properties(config, tables, **kw)
+    go = op["go"]
+    out = {}
+    if config.do_sw:
+        out["od_sw"] = op["od_sw"]
+        out["ssa_sw"] = op["ssa_sw"]
+        out["asymmetry_sw"] = op["g_sw_arr"]
+        out["incoming_sw"] = go.incoming_sw
+        out["sw_albedo"] = op["sw_albedo_diffuse_g"]
+        out["sw_albedo_direct"] = op["sw_albedo_direct_g"]
+    if config.do_lw:
+        out["od_lw"] = op["od_lw"]
+        out["ssa_lw"] = op["ssa_lw"]
+        out["asymmetry_lw"] = op["g_lw_arr"]
+        out["planck_hl"] = go.planck_hl
+        out["lw_emission"] = go.lw_emission * (1.0 - op["lw_albedo_g"])
+        out["lw_emissivity"] = 1.0 - op["lw_albedo_g"]
+    if op["do_clouds"]:
+        cl = op["cl"]
+        out["cloud_fraction"] = op["frac"]
+        if config.do_sw:
+            out["od_sw_cloud"] = cl["od_sw"]
+            out["ssa_sw_cloud"] = cl["ssa_sw"]
+            out["asymmetry_sw_cloud"] = cl["g_sw"]
+        if config.do_lw:
+            out["od_lw_cloud"] = cl["od_lw"]
+            out["ssa_lw_cloud"] = cl["ssa_lw"]
+            out["asymmetry_lw_cloud"] = cl["g_lw"]
+    return out

@@ -111,7 +111,11 @@ class NcWriter:
                      units: Optional[str] = None,
                      long_name: Optional[str] = None):
         v = self._f.createVariable(name, "f8", ())
-        v.assignValue(float(value))
+        try:
+            v.assignValue(float(value))
+        except (IndexError, RuntimeError):
+            # scipy's assignValue mishandles 0-d arrays in some versions
+            v.data[()] = float(value)
         if units:
             v.units = units
         if long_name:
