@@ -209,6 +209,19 @@ def run(config_path: str, input_path: str, output_path: str,
                     experiment_name=driver_config.experiment_name,
                     double_precision=driver_config.do_write_double_precision)
 
+    # shortwave spectral diagnostics (ecrad_driver.F90:213-219,410-419)
+    if len(driver_config.sw_diag_wavelength_bound) >= 2 and config.do_sw:
+        from ecrad_tpu.io.output import save_sw_diagnostics
+        from ecrad_tpu.optics.spectral import get_sw_mapping
+        mapping = get_sw_mapping(
+            tables.specdef_sw, driver_config.sw_diag_wavelength_bound,
+            use_bands=not config.do_cloud_aerosol_per_sw_g_point)
+        save_sw_diagnostics(
+            driver_config.sw_diag_file_name, config,
+            driver_config.sw_diag_wavelength_bound, mapping, flux,
+            experiment_name=driver_config.experiment_name,
+            double_precision=driver_config.do_write_double_precision)
+
     # debug dumps (ecrad_driver.F90 do_save_inputs;
     # radiation_interface do_save_radiative_properties)
     if driver_config.do_save_inputs:

@@ -30,17 +30,7 @@ from ecrad_tpu.cloud_size import param_cloud_effective_separation_eta
 RSIGMA = 5.67037321e-8
 
 
-def get_sw_weights(specdef, wavelength1, wavelength2, use_bands=True):
-    """Band indices + weights for a surface SW diagnostic in a
-    wavelength range (radiation_config.F90:1625-1722 get_sw_weights):
-    row 2 of calc_mapping_from_bands([wl1, wl2], [1,2,3],
-    use_fluxes=true)."""
-    mapping = specdef.calc_mapping_from_bands(
-        [wavelength1, wavelength2], [1, 2, 3], use_bands=use_bands,
-        use_fluxes=True)
-    w = np.asarray(mapping[1])
-    iband = np.nonzero(w > 0.0)[0]
-    return iband, w[iband]
+from ecrad_tpu.optics.spectral import get_sw_weights  # noqa: E402
 
 
 class RadiationScheme(NamedTuple):

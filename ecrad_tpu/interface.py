@@ -38,6 +38,8 @@ class Tables(NamedTuple):
     cloud: Optional[Dict] = None                     # cloud-optics tables
     aerosol: Optional[Dict] = None                   # aerosol-optics tables
     pdf_sampler: Optional[Dict] = None               # McICA PDF LUT
+    specdef_sw: Optional[object] = None              # SpectralDefinition
+    specdef_lw: Optional[object] = None
 
 
 def setup_radiation(config: Config, data_dir: str = None):
@@ -258,6 +260,8 @@ def setup_radiation(config: Config, data_dir: str = None):
         i_emiss_from_band_lw=i_emiss_from_band_lw,
         band_from_g_sw=band_from_g_sw,
         band_from_g_lw=band_from_g_lw,
+        specdef_sw=specdef_sw,
+        specdef_lw=specdef_lw,
     )
     return new_config, tables
 

@@ -54,6 +54,9 @@ class DriverConfig:
     solar_irradiance_override: float = -1.0
     solar_cycle_multiplier_override: float = -2.0e9
     cloud_fraction_override: float = -1.0
+    # Shortwave spectral diagnostics (ecrad_driver_config.F90:72-82)
+    sw_diag_wavelength_bound: tuple = ()
+    sw_diag_file_name: str = "sw_diagnostics.nc"
     # Per-gas scale factors (driver_config "<gas>_scaling")
     gas_scaling: Optional[dict] = None
     vmr_suffix_str: str = "_vmr"
@@ -65,7 +68,10 @@ class DriverConfig:
         kw = {}
         fields = {f.name for f in dataclasses.fields(cls)}
         for k, v in nml.items():
-            if k in fields:
+            if k == "sw_diag_wavelength_bound":
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                kw[k] = tuple(float(x) for x in vals if float(x) > 0.0)
+            elif k in fields:
                 kw[k] = v
             elif k == "skin_temperature":
                 kw["skin_temperature_override"] = v

@@ -317,3 +317,45 @@ def save_net_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                     long_name="Surface downwelling direct shortwave flux "
                               "in canopy bands", dtype=dt)
     w.close()
+
+
+def save_sw_diagnostics(path: str, config: Config, wavelength_bound,
+                        mapping, flux: Flux, experiment_name: str = "",
+                        double_precision: bool = False):
+    """Surface SW fluxes mapped to user wavelength intervals
+    (radiation_save.F90:1314-1473 save_sw_diagnostics).
+
+    mapping (nwav, nband) from optics.spectral.get_sw_mapping; the
+    surface band fluxes are (ncol, nband)."""
+    dt = "f8" if double_precision else "f4"
+    wb = np.asarray(wavelength_bound, float)
+    m = np.asarray(mapping)
+    w = NcWriter(path)
+    w.set_global_attr(
+        "title", "Shortwave spectral diagnostics from the ecrad_tpu "
+        "offline radiation scheme")
+    if experiment_name:
+        w.set_global_attr("experiment", experiment_name)
+    w.write("wavelength1", wb[:-1], ("wavelength",), units="m",
+            long_name="Wavelength lower bound", dtype="f8")
+    w.write("wavelength2", wb[1:], ("wavelength",), units="m",
+            long_name="Wavelength upper bound", dtype="f8")
+
+    def put(name, band_flux, long_name):
+        if band_flux is None:
+            return
+        w.write(name, np.asarray(band_flux) @ m.T,
+                ("column", "wavelength"), units="W m-2",
+                long_name=long_name, dtype=dt)
+
+    put("flux_dn_sw_surf", flux.sw_dn_surf_band,
+        "Surface downwelling shortwave flux")
+    put("flux_dn_direct_sw_surf", flux.sw_dn_direct_surf_band,
+        "Surface downwelling direct shortwave flux")
+    if config.do_clear:
+        put("flux_dn_sw_surf_clear", flux.sw_dn_surf_clear_band,
+            "Surface downwelling clear-sky shortwave flux")
+        put("flux_dn_direct_sw_surf_clear",
+            flux.sw_dn_direct_surf_clear_band,
+            "Surface downwelling clear-sky direct shortwave flux")
+    w.close()

@@ -97,3 +97,32 @@ def calc_mapping_from_bands(wavenumber1_band, wavenumber2_band,
     else:
         mapping = mapping / mapping.sum(axis=0, keepdims=True)
     return mapping
+
+
+def get_sw_mapping(specdef, wavelength_bound, use_bands=True):
+    """Mapping matrix from SW bands/g-points to user wavelength
+    intervals (radiation_config.F90:1766-1828 get_sw_mapping).
+
+    wavelength_bound: (ninterval+1,) metres.  Returns
+    (ninterval, nband|ng)."""
+    import numpy as np
+    ninterval = len(wavelength_bound) - 1
+    diag_ind = list(range(1, ninterval + 3))
+    mapping = specdef.calc_mapping_from_bands(
+        list(wavelength_bound), diag_ind, use_bands=use_bands,
+        use_fluxes=False)
+    return np.asarray(mapping)[1:ninterval + 1]
+
+
+def get_sw_weights(specdef, wavelength1, wavelength2, use_bands=True):
+    """Band indices + weights for a surface SW diagnostic in a
+    wavelength range (radiation_config.F90:1625-1722 get_sw_weights):
+    row 2 of calc_mapping_from_bands([wl1, wl2], [1, 2, 3],
+    use_fluxes=true)."""
+    import numpy as np
+    mapping = specdef.calc_mapping_from_bands(
+        [wavelength1, wavelength2], [1, 2, 3], use_bands=use_bands,
+        use_fluxes=True)
+    w = np.asarray(mapping[1])
+    iband = np.nonzero(w > 0.0)[0]
+    return iband, w[iband]

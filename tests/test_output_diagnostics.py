@@ -71,3 +71,32 @@ def test_spectral_profile_direct():
     np.testing.assert_allclose(
         np.asarray(flux.sw_dn_direct_band).sum(-1),
         np.asarray(flux.sw_dn_direct), rtol=1e-12, atol=1e-9)
+
+
+def test_sw_diagnostics_file(tmp_path):
+    """save_sw_diagnostics (radiation_save.F90:1314-1473) +
+    get_sw_mapping (radiation_config.F90:1766-1828): RGB example from
+    configCY49R1_mixed.nam."""
+    from ecrad_tpu.io.output import save_sw_diagnostics
+    from ecrad_tpu.io.netcdf import NcFile
+    from ecrad_tpu.optics.spectral import get_sw_mapping
+
+    cfg, flux, inp = run()
+    from ecrad_tpu.optics.spectral_def import SpectralDefinition
+    from ecrad_tpu.optics import rrtmg_data
+    specdef = SpectralDefinition.bands_only(
+        rrtmg_data.SW_WAVENUM1, rrtmg_data.SW_WAVENUM2, is_solar=True)
+    bounds = (0.4e-6, 0.5e-6, 0.6e-6, 0.7e-6)
+    mapping = get_sw_mapping(specdef, bounds)
+    assert mapping.shape == (3, 14)
+    assert (mapping >= 0.0).all() and (mapping <= 1.0 + 1e-12).all()
+    out = os.path.join(tmp_path, "sw_diag.nc")
+    save_sw_diagnostics(out, cfg, bounds, mapping, flux)
+    with NcFile(out) as f:
+        rgb = f.get("flux_dn_sw_surf")
+        assert rgb.shape[1] == 3
+        assert (rgb >= 0.0).all()
+        # visible sub-intervals are below the total surface SW flux
+        total = np.asarray(flux.sw_dn_surf_band).sum(-1)
+        assert (rgb.sum(-1) <= total + 1e-3).all()
+        np.testing.assert_allclose(f.get("wavelength1"), bounds[:-1])
