@@ -6,13 +6,13 @@ Prints one JSON line: columns/sec/chip vs the reference anchor of
 268 columns/s (ecRad CPU driver on the same 32x137 case,
 test/ifs/ecrad_meridian_default_out_REFERENCE.log; see BASELINE.md).
 
-Timing protocol: the repeat loop runs INSIDE jit as a lax.scan over
-McICA seeds, reduced to one scalar that depends on every output field,
-and the scalar is fetched to the host.  Two scan lengths are timed and
-differenced, which cancels dispatch/transfer round-trip latency — on
-remote-execution backends (axon tunnel) per-call latency is large and
-unfetched results may never execute, so host-side repeat loops measure
-submission, not compute.
+Timing protocol: each call reduces every output field to one scalar
+inside jit and that scalar is fetched to the host, so the work provably
+executes (on remote-execution backends, unfetched results may never
+run and block_until_ready can return at submission).  Per-call time
+includes a fixed dispatch/transfer round trip, so two batch sizes are
+timed (min over repeats) and differenced — the RTT cancels, leaving
+pure device compute for (ncol_big - ncol_small) columns.
 """
 
 import json
@@ -26,9 +26,9 @@ BASELINE_COLS_PER_SEC = 268.0   # ecRad reference log (BASELINE.md)
 
 
 def main():
-    ncol = int(os.environ.get("BENCH_NCOL", "2048"))
-    nrep_short = int(os.environ.get("BENCH_NREPEAT_SHORT", "2"))
-    nrep_long = int(os.environ.get("BENCH_NREPEAT", "12"))
+    ncol_small = int(os.environ.get("BENCH_NCOL_SMALL", "512"))
+    ncol_big = int(os.environ.get("BENCH_NCOL", "6144"))
+    niter = int(os.environ.get("BENCH_NITER", "8"))
 
     import jax
     import jax.numpy as jnp
@@ -36,49 +36,42 @@ def main():
 
     import __graft_entry__ as ge
 
-    step, args = ge._build(ncol=ncol, dtype="float32")
+    def build(ncol):
+        step, args = ge._build(ncol=ncol, dtype="float32")
 
-    def repeated(n):
-        def body(carry, seed_offset):
-            cloud_i = dict(args[8])
-            cloud_i["iseed"] = cloud_i["iseed"] + seed_offset
-            flux = step(*args[:8], cloud_i, *args[9:])
-            # reduce over EVERY output array so nothing is dead-code
-            # eliminated
-            acc = carry
+        def fn_scalar(*a):
+            flux = step(*a)
+            acc = jnp.float32(0.0)
+            # reduce over EVERY output array so nothing is DCE'd
             for leaf in jax.tree_util.tree_leaves(flux):
                 acc = acc + jnp.sum(leaf.astype(jnp.float32))
-            return acc, ()
-
-        def fn():
-            acc, _ = jax.lax.scan(
-                body, jnp.float32(0.0),
-                jnp.arange(1, n + 1, dtype=jnp.int32))
             return acc
 
-        return jax.jit(fn)
+        fn = jax.jit(fn_scalar)
+        variants = []
+        for i in range(niter + 1):
+            cloud_i = dict(args[8])
+            cloud_i["iseed"] = cloud_i["iseed"] + (i + 1)
+            variants.append(args[:8] + (cloud_i,) + args[9:])
+        return fn, variants
 
-    fn_short = repeated(nrep_short)
-    fn_long = repeated(nrep_long)
-
-    def run_fetch(fn):
+    def measure(ncol):
+        fn, variants = build(ncol)
         t0 = time.time()
-        v = float(np.asarray(fn()))
-        return time.time() - t0, v
+        v = float(np.asarray(fn(*variants[0])))      # compile + warm
+        compile_t = time.time() - t0
+        times = []
+        for vv in variants[1:]:
+            t0 = time.time()
+            float(np.asarray(fn(*vv)))
+            times.append(time.time() - t0)
+        return min(times), compile_t, v
 
-    # compile + warm both
-    c_short, _ = run_fetch(fn_short)
-    c_long, _ = run_fetch(fn_long)
-    # timed
-    t_short, v1 = run_fetch(fn_short)
-    t_long, v2 = run_fetch(fn_long)
-    t_short2, _ = run_fetch(fn_short)
-    t_long2, _ = run_fetch(fn_long)
-    t_short = min(t_short, t_short2)
-    t_long = min(t_long, t_long2)
+    t_small, c_small, v1 = measure(ncol_small)
+    t_big, c_big, v2 = measure(ncol_big)
 
-    dt = max(t_long - t_short, 1e-9)
-    cols_per_sec = ncol * (nrep_long - nrep_short) / dt
+    dt = max(t_big - t_small, 1e-9)
+    cols_per_sec = (ncol_big - ncol_small) / dt
     result = {
         "metric": "columns_per_second_per_chip",
         "value": round(cols_per_sec, 1),
@@ -86,9 +79,9 @@ def main():
         "vs_baseline": round(cols_per_sec / BASELINE_COLS_PER_SEC, 2),
     }
     print(json.dumps(result))
-    print(f"# ncol={ncol} nrep={nrep_short}/{nrep_long} "
-          f"t_short={t_short:.3f}s t_long={t_long:.3f}s "
-          f"compile={c_short:.1f}/{c_long:.1f}s "
+    print(f"# ncol={ncol_small}/{ncol_big} t_small={t_small:.4f}s "
+          f"t_big={t_big:.4f}s dt={dt:.4f}s "
+          f"compile={c_small:.1f}/{c_big:.1f}s "
           f"checksum={v1:.6g}/{v2:.6g} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 

@@ -197,15 +197,28 @@ def run(config_path: str, input_path: str, output_path: str,
              f"({ncol*(nrepeat-1)/max(t_rest,1e-9):.0f} cols/s)"
              if nrepeat > 1 else ""))
 
+    out_phl = inp.thermodynamics.pressure_hl
+    if inp.flipped:
+        # flip output profiles back to the file's surface-first order
+        # (radiation_interface.F90 radiation_reverse)
+        rep = {}
+        for f in ("lw_up", "lw_dn", "sw_up", "sw_dn", "sw_dn_direct",
+                  "lw_up_clear", "lw_dn_clear", "sw_up_clear",
+                  "sw_dn_clear", "sw_dn_direct_clear",
+                  "lw_derivatives"):
+            v = getattr(flux, f, None)
+            if v is not None:
+                rep[f] = v[:, ::-1]
+        flux = flux.replace(**rep)
+        out_phl = out_phl[:, ::-1]
+
     if driver_config.do_save_net_fluxes:
-        save_net_fluxes(output_path, config, flux,
-                        inp.thermodynamics.pressure_hl,
+        save_net_fluxes(output_path, config, flux, out_phl,
                         experiment_name=driver_config.experiment_name,
                         double_precision=(
                             driver_config.do_write_double_precision))
     else:
-        save_fluxes(output_path, config, flux,
-                    inp.thermodynamics.pressure_hl,
+        save_fluxes(output_path, config, flux, out_phl,
                     experiment_name=driver_config.experiment_name,
                     double_precision=driver_config.do_write_double_precision)
 

@@ -113,6 +113,10 @@ class RadiationInput:
     lw_emissivity: np.ndarray
     solar_irradiance: float
     iseed: np.ndarray
+    # True if the file stored levels surface-first and was flipped to the
+    # internal TOA-first order (radiation_interface.F90:519
+    # radiation_reverse); the driver flips output profiles back.
+    flipped: bool = False
 
     @property
     def ncol(self):
@@ -149,6 +153,23 @@ def compute_overlap_param(pressure_hl, temperature_hl, decorr_length_m):
 from ecrad_tpu.cloud_size import (                        # noqa: E402
     inv_cloud_effective_size_eta, inv_size_from_separation,
     param_cloud_effective_separation_eta)
+
+
+def _reverse_levels(inp: "RadiationInput") -> "RadiationInput":
+    """Flip every level-dependent array to TOA-first order
+    (radiation_interface.F90:519-663 radiation_reverse)."""
+    def flip(a):
+        return None if a is None else a[:, ::-1].copy()
+    inp.thermodynamics = Thermodynamics(
+        pressure_hl=flip(inp.thermodynamics.pressure_hl),
+        temperature_hl=flip(inp.thermodynamics.temperature_hl))
+    for f in ("gas_mmr", "cloud_mixing_ratio", "cloud_effective_radius",
+              "cloud_fraction", "fractional_std", "overlap_param",
+              "inv_cloud_effective_size", "inv_inhom_effective_size",
+              "aerosol_mmr"):
+        setattr(inp, f, flip(getattr(inp, f)))
+    inp.flipped = True
+    return inp
 
 
 def read_input(path: str, driver_config: Optional[DriverConfig] = None,
@@ -342,7 +363,7 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
             for gname, scale in dc.gas_scaling.items():
                 gas_mmr[:, :, constants.GAS_INDEX[gname]] *= scale
 
-    return RadiationInput(
+    out = RadiationInput(
         thermodynamics=thermo,
         gas_mmr=gas_mmr,
         cloud_mixing_ratio=q,
@@ -361,3 +382,8 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         solar_irradiance=solar_irradiance,
         iseed=iseed,
     )
+    # surface-first files are flipped to internal TOA-first order
+    # (radiation_interface.F90 radiation_reverse)
+    if pressure_hl[0, 0] > pressure_hl[0, -1]:
+        out = _reverse_levels(out)
+    return out

@@ -93,3 +93,43 @@ def test_radiative_properties(tmp_path):
         for v in ("od_lw", "od_sw", "planck_hl", "incoming_sw",
                   "od_sw_cloud", "cloud_fraction"):
             assert f.exists(v), v
+
+
+def test_radiation_reverse(tmp_path):
+    """Surface-first input files are auto-flipped
+    (radiation_interface.F90:519 radiation_reverse): a level-reversed
+    copy of the meridian file must give identical fluxes."""
+    import dataclasses
+    from ecrad_tpu.config import Config
+    from ecrad_tpu.containers import Thermodynamics
+    from ecrad_tpu.io.input import DriverConfig, read_input
+    from ecrad_tpu.io.save_extras import save_inputs
+
+    cfg = Config.from_namelist(golden.CONFIG_NAM)
+    dc = DriverConfig.from_namelist(golden.CONFIG_NAM)
+    inp = read_input(golden.INPUT_FILE, dc)
+    assert not inp.flipped
+
+    flipped = dataclasses.replace(inp)
+    flipped.thermodynamics = Thermodynamics(
+        pressure_hl=inp.thermodynamics.pressure_hl[:, ::-1].copy(),
+        temperature_hl=inp.thermodynamics.temperature_hl[:, ::-1].copy())
+    for f in ("gas_mmr", "cloud_mixing_ratio", "cloud_effective_radius",
+              "cloud_fraction", "fractional_std", "overlap_param",
+              "inv_cloud_effective_size", "inv_inhom_effective_size",
+              "aerosol_mmr"):
+        v = getattr(inp, f)
+        if v is not None:
+            setattr(flipped, f, v[:, ::-1].copy())
+    path = os.path.join(tmp_path, "meridian_flipped.nc")
+    save_inputs(path, cfg, flipped)
+
+    inp2 = read_input(path, DriverConfig())
+    assert inp2.flipped
+    np.testing.assert_allclose(inp2.thermodynamics.pressure_hl,
+                               inp.thermodynamics.pressure_hl)
+    np.testing.assert_allclose(inp2.cloud_fraction, inp.cloud_fraction,
+                               atol=1e-7)
+    np.testing.assert_allclose(inp2.gas_mmr, inp.gas_mmr, rtol=1e-6)
+    np.testing.assert_allclose(inp2.overlap_param, inp.overlap_param,
+                               atol=1e-7)
