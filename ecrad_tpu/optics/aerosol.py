@@ -84,9 +84,20 @@ def setup_aerosol_optics(config: Config, data_dir: str,
     out = {}
     with NcFile(path) as f:
         if not f.exists("wavenumber"):
-            raise NotImplementedError(
-                "legacy band-wise aerosol optics files not yet supported: "
-                + path)
+            # Legacy band-wise file: optical properties are already on
+            # the gas-optics band grid (radiation_aerosol_optics.F90:59-62
+            # -> radiation_aerosol_optics_data.F90:204-231 `setup`).  The
+            # reference only checks band *counts* match
+            # (radiation_aerosol_optics.F90:68-78); band bounds are taken
+            # on faith.
+            return _load_legacy_aerosol_optics(
+                f, path, len(wn1_sw), len(wn1_lw),
+                specdef_sw=(specdef_sw
+                            if config.do_cloud_aerosol_per_sw_g_point
+                            else None),
+                specdef_lw=(specdef_lw
+                            if config.do_cloud_aerosol_per_lw_g_point
+                            else None))
         wavenumber = f.get("wavenumber")
         mass_ext_phobic = f.get("mass_ext_hydrophobic")     # (ntype, nwn)
         ssa_phobic = f.get("ssa_hydrophobic")
@@ -138,6 +149,102 @@ def setup_aerosol_optics(config: Config, data_dir: str,
     # band-wise tables have shape (nband, ntype) or (nband, ntype, nrh)
     # (philic stored as (nband, ntype, nrh) here — note the reference is
     # (nband, nrh, ntype); we index accordingly at run time)
+    return out
+
+
+def _load_legacy_aerosol_optics(f, path, nb_sw, nb_lw,
+                                specdef_sw=None, specdef_lw=None) -> Dict:
+    """Band-wise aerosol optics file (e.g. aerosol_ifs_rrtm_46R1*.nc).
+
+    Two uses in the reference:
+      * RRTMG bands: tables used directly
+        (radiation_aerosol_optics_data.F90:204-231 ``setup``; band-count
+        check radiation_aerosol_optics.F90:68-78);
+      * ecCKD per-g-point: band data spread onto g-points with
+        calc_mapping_from_wavenumber_bands
+        (setup_general_aerosol_optics_legacy,
+        radiation_aerosol_optics.F90:345-476).
+    """
+    me_sw_phob = f.get("mass_ext_sw_hydrophobic")    # (ntype, nband)
+    ssa_sw_phob = f.get("ssa_sw_hydrophobic")
+    g_sw_phob = f.get("asymmetry_sw_hydrophobic")
+    me_lw_phob = f.get("mass_ext_lw_hydrophobic")
+    ssa_lw_phob = f.get("ssa_lw_hydrophobic")
+    g_lw_phob = f.get("asymmetry_lw_hydrophobic")
+    use_philic = f.exists("mass_ext_sw_hydrophilic")
+    if use_philic:
+        me_sw_phil = f.get("mass_ext_sw_hydrophilic")  # (nt, nrh, nband)
+        ssa_sw_phil = f.get("ssa_sw_hydrophilic")
+        g_sw_phil = f.get("asymmetry_sw_hydrophilic")
+        me_lw_phil = f.get("mass_ext_lw_hydrophilic")
+        ssa_lw_phil = f.get("ssa_lw_hydrophilic")
+        g_lw_phil = f.get("asymmetry_lw_hydrophilic")
+        rh_lower = f.get("relative_humidity1")
+    wn1_sw_file = f.get("wavenumber1_sw")
+    wn2_sw_file = f.get("wavenumber2_sw")
+    wn1_lw_file = f.get("wavenumber1_lw")
+    wn2_lw_file = f.get("wavenumber2_lw")
+
+    def remap(mapping, me, ssa, g):
+        """mapping (n_target, n_src); me/ssa/g (..., n_src).
+        Extinction-weighted averages as radiation_aerosol_optics.F90:
+        406-476."""
+        me_t = np.einsum("ts,...s->...t", mapping, me)
+        ssa_t = np.einsum("ts,...s->...t", mapping, me * ssa) \
+            / np.maximum(me_t, 1e-300)
+        g_t = np.einsum("ts,...s->...t", mapping, me * ssa * g) \
+            / np.maximum(me_t * ssa_t, 1e-300)
+        return me_t, ssa_t, g_t
+
+    if specdef_sw is not None:
+        map_sw = specdef_sw.calc_mapping_from_wavenumber_bands(
+            wn1_sw_file, wn2_sw_file, use_bands=False).T
+        me_sw_phob, ssa_sw_phob, g_sw_phob = remap(
+            map_sw, me_sw_phob, ssa_sw_phob, g_sw_phob)
+        if use_philic:
+            me_sw_phil, ssa_sw_phil, g_sw_phil = remap(
+                map_sw, me_sw_phil, ssa_sw_phil, g_sw_phil)
+    elif me_sw_phob.shape[-1] != nb_sw:
+        raise ValueError(
+            "number of shortwave bands (%d) does not match aerosol "
+            "optics look-up table (%d): %s"
+            % (nb_sw, me_sw_phob.shape[-1], path))
+    if specdef_lw is not None:
+        map_lw = specdef_lw.calc_mapping_from_wavenumber_bands(
+            wn1_lw_file, wn2_lw_file, use_bands=False).T
+        me_lw_phob, ssa_lw_phob, g_lw_phob = remap(
+            map_lw, me_lw_phob, ssa_lw_phob, g_lw_phob)
+        if use_philic:
+            me_lw_phil, ssa_lw_phil, g_lw_phil = remap(
+                map_lw, me_lw_phil, ssa_lw_phil, g_lw_phil)
+    elif me_lw_phob.shape[-1] != nb_lw:
+        raise ValueError(
+            "number of longwave bands (%d) does not match aerosol "
+            "optics look-up table (%d): %s"
+            % (nb_lw, me_lw_phob.shape[-1], path))
+
+    out = {
+        # phobic tables → (nband, ntype)
+        "mass_ext_sw_phobic": np.ascontiguousarray(me_sw_phob.T),
+        "ssa_sw_phobic": np.ascontiguousarray(ssa_sw_phob.T),
+        "g_sw_phobic": np.ascontiguousarray(g_sw_phob.T),
+        "mass_ext_lw_phobic": np.ascontiguousarray(me_lw_phob.T),
+        "ssa_lw_phobic": np.ascontiguousarray(ssa_lw_phob.T),
+        "g_lw_phobic": np.ascontiguousarray(g_lw_phob.T),
+        "use_hydrophilic": use_philic,
+    }
+    if use_philic:
+        # philic tables (ntype, nrh, nband) → (nband, ntype, nrh)
+        tr = lambda a: np.ascontiguousarray(np.transpose(a, (2, 0, 1)))
+        out.update(
+            mass_ext_sw_philic=tr(me_sw_phil),
+            ssa_sw_philic=tr(ssa_sw_phil),
+            g_sw_philic=tr(g_sw_phil),
+            mass_ext_lw_philic=tr(me_lw_phil),
+            ssa_lw_philic=tr(ssa_lw_phil),
+            g_lw_philic=tr(g_lw_phil),
+            rh_lower=rh_lower,
+        )
     return out
 
 

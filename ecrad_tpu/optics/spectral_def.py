@@ -190,6 +190,29 @@ class SpectralDefinition:
         return mapping / np.maximum(norm, 1e-300)
 
     # ------------------------------------------------------------------
+    def calc_mapping_from_wavenumber_bands(self, wavenumber1, wavenumber2,
+                                           use_bands=False,
+                                           use_fluxes=False):
+        """Mapping from a set of source *bands* (given by wavenumber
+        bounds, any order) onto this spectral definition
+        (radiation_spectral_definition.F90:818-877): sort the source
+        bands by wavelength, express them as wavelength intervals and
+        delegate to calc_mapping_from_bands.
+
+        Returns mapping (n_source_band, nband|ng); transpose to map
+        source-band data onto this grid as in
+        radiation_aerosol_optics.F90:406-414."""
+        wavenumber2 = np.asarray(wavenumber2, np.float64)
+        wavelength1 = 0.01 / wavenumber2     # lower wavelength bound (m)
+        ninterval = wavelength1.size
+        order = np.argsort(wavelength1, kind="stable")
+        i_intervals = order + 1              # 1-based source-band index
+        wavelength_bound = wavelength1[order][1:]
+        return self.calc_mapping_from_bands(
+            wavelength_bound, i_intervals, use_bands=use_bands,
+            use_fluxes=use_fluxes)
+
+    # ------------------------------------------------------------------
     def calc_mapping_from_bands(self, wavelength_bound, i_intervals,
                                 use_bands=False, use_fluxes=False):
         """Albedo/emissivity interval weights
