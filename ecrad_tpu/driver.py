@@ -104,6 +104,8 @@ def run(config_path: str, input_path: str, output_path: str,
     from ecrad_tpu.io.input import DriverConfig, read_input
     from ecrad_tpu.io.output import save_fluxes, save_net_fluxes
 
+    from ecrad_tpu import profiling
+
     config = Config.from_namelist(config_path)
     driver_config = DriverConfig.from_namelist(config_path)
 
@@ -122,8 +124,10 @@ def run(config_path: str, input_path: str, output_path: str,
     if nrepeat is None:
         nrepeat = driver_config.nrepeat
 
-    config, tables = setup_radiation(config)
-    inp = read_input(input_path, driver_config)
+    with profiling.hook('radiation_interface:setup_radiation'):
+        config, tables = setup_radiation(config)
+    with profiling.hook('ecrad_driver:read_input'):
+        inp = read_input(input_path, driver_config)
 
     # bounds validation (driver/ecrad_driver.F90:314-323)
     from ecrad_tpu.check import check_inputs
@@ -141,7 +145,8 @@ def run(config_path: str, input_path: str, output_path: str,
 
     cloud = None
     if config.do_clouds:
-        cloud = build_cloud_inputs(config, inp, generator)
+        with profiling.hook('ecrad_driver:build_cloud_inputs'):
+            cloud = build_cloud_inputs(config, inp, generator)
         use_device_gen = cloud.pop("_device_generator", False)
     else:
         use_device_gen = False
@@ -193,14 +198,16 @@ def run(config_path: str, input_path: str, output_path: str,
     fn = jax.jit(step) if jit else step
 
     t0 = time.time()
-    flux = fn(**kwargs)
-    jax.block_until_ready(flux)
+    with profiling.hook('ecrad_driver:radiation[first_call+compile]'):
+        flux = fn(**kwargs)
+        jax.block_until_ready(flux)
     t_first = time.time() - t0
 
     t0 = time.time()
     for _ in range(max(0, nrepeat - 1)):
-        flux = fn(**kwargs)
-        jax.block_until_ready(flux)
+        with profiling.hook('ecrad_driver:radiation'):
+            flux = fn(**kwargs)
+            jax.block_until_ready(flux)
     t_rest = time.time() - t0
 
     ncol = inp.ncol
@@ -267,6 +274,8 @@ def run(config_path: str, input_path: str, output_path: str,
                     "sw_albedo_direct", "lw_emissivity")})
         save_radiative_properties("radiative_properties.nc", config,
                                   props)
+    if profiling.enabled():
+        profiling.print_profile()
     return flux
 
 

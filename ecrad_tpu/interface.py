@@ -492,12 +492,16 @@ def radiation(config: Config, tables: Tables, *,
     gas_mmr: (ncol, nlev, NUM_GASES) mass mixing ratios in
     constants.GAS_NAMES order.
     """
-    op = _optical_properties(
-        config, tables, pressure_hl=pressure_hl,
-        temperature_hl=temperature_hl, gas_mmr=gas_mmr, cos_sza=cos_sza,
-        skin_temperature=skin_temperature, sw_albedo=sw_albedo,
-        sw_albedo_direct=sw_albedo_direct, lw_emissivity=lw_emissivity,
-        solar_irradiance=solar_irradiance, cloud=cloud, aerosol=aerosol)
+    from ecrad_tpu import profiling
+    with profiling.scope("radiation_interface:optical_properties"):
+        op = _optical_properties(
+            config, tables, pressure_hl=pressure_hl,
+            temperature_hl=temperature_hl, gas_mmr=gas_mmr,
+            cos_sza=cos_sza, skin_temperature=skin_temperature,
+            sw_albedo=sw_albedo, sw_albedo_direct=sw_albedo_direct,
+            lw_emissivity=lw_emissivity,
+            solar_irradiance=solar_irradiance, cloud=cloud,
+            aerosol=aerosol)
     sw_albedo_direct_g = op["sw_albedo_direct_g"]
     sw_albedo_diffuse_g = op["sw_albedo_diffuse_g"]
     lw_albedo_g = op["lw_albedo_g"]

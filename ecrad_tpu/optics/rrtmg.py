@@ -14,6 +14,7 @@ import numpy as np
 
 from ecrad_tpu.optics import rrtmg_data, rrtmg_lw, rrtmg_sw
 from ecrad_tpu.optics.rrtmg_prepare import prepare_columns
+from ecrad_tpu import profiling
 
 FLUXFAC = np.pi * 1.0e4
 
@@ -73,6 +74,7 @@ def _planck_store(totplnk, delwave, temperature):
     return FLUXFAC * delwave * (p0 + frac[..., None] * (p1 - p0))
 
 
+@profiling.traced("radiation_ifs_rrtm:gas_optics")
 def gas_optics(tables: dict, pressure_hl, temperature_hl,
                gas_mmr: dict, cos_sza=None,
                do_lw=True, do_sw=True, skin_temperature=None,

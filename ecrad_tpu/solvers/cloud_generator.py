@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ecrad_tpu.config import Config, Overlap
+from ecrad_tpu import profiling
 
 MAX_CLOUD_FRAC = 1.0 - 2.0e-6
 
@@ -77,6 +78,7 @@ def sample_pdf_jnp(pdf_tables, fsd, cdf):
             + wcdf * wfsd * at(icdf + 1, ifsd + 1))
 
 
+@profiling.traced("radiation_cloud_generator:cloud_generator")
 def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
                            overlap_param, fractional_std, ng: int):
     """On-device stochastic cloud sample.

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ecrad_tpu.solvers import adding, two_stream
 from ecrad_tpu.solvers.lw_derivatives import lw_derivatives_ica
+from ecrad_tpu import profiling
 
 
 class LwSolverOutput(NamedTuple):
@@ -32,6 +33,7 @@ class SwSolverOutput(NamedTuple):
     flux_dn_direct_g: jnp.ndarray
 
 
+@profiling.traced("radiation_cloudless_lw:solver_cloudless_lw")
 def solver_cloudless_lw(od, ssa, g, planck_hl, emission, albedo,
                         do_lw_aerosol_scattering=False,
                         do_lw_derivatives=False) -> LwSolverOutput:
@@ -59,6 +61,7 @@ def solver_cloudless_lw(od, ssa, g, planck_hl, emission, albedo,
     return out
 
 
+@profiling.traced("radiation_cloudless_sw:solver_cloudless_sw")
 def solver_cloudless_sw(od, ssa, g, incoming_sw, cos_sza,
                         albedo_diffuse, albedo_direct,
                         do_sw_delta_scaling_with_gases=False

@@ -142,36 +142,62 @@ def fast_expm_exchange_2(a, b):
         [jnp.stack([R00, R01], -1), jnp.stack([R10, R11], -1)], -2)
 
 
+def _phi1(x):
+    """(e^x - 1)/x with the x->0 limit (stable for all x <= 0)."""
+    safe = jnp.where(x == 0.0, 1.0, x)
+    return jnp.where(x == 0.0, 1.0, jnp.expm1(safe) / safe)
+
+
 def fast_expm_exchange_3(a, b, c, d):
-    """expm of (-a b 0; a -b-c d; 0 c -d) by diagonalization
-    (radiation_matrix.F90:952-1028).  Returns (..., 3, 3)."""
-    eps = 1.0e-12
+    """expm of the conservative-exchange generator
+    (-a b 0; a -b-c d; 0 c -d), a..d >= 0.  Returns (..., 3, 3).
+
+    Same role as radiation_matrix.F90:952-1028 (SPARTACUS entrapment),
+    but computed with Putzer's algorithm on the eigenvalue sequence
+    (0, lam1, lam2) using stable divided differences of exp:
+
+        e^M = I + dd1(0,l1) M + dd2(0,l1,l2) M (M - l1 I)
+
+    Unlike the reference's diagonalization (which needs an epsilon
+    floor between eigenvalues and loses several digits in single
+    precision when lam1 ~= lam2 — the driver/test_fast_expm.F90 case),
+    divided differences have no degenerate case: confluent eigenvalues
+    are handled by the exact identity
+    dd1(l1,l2) = e^{(l1+l2)/2} * sinh(h)/h, h = (l1-l2)/2."""
     dtype = jnp.result_type(a, b, c, d)
-    tiny = jnp.finfo(dtype).eps
-    tmp1 = 0.5 * (a + b + c + d)
-    tmp2 = jnp.sqrt(jnp.maximum(0.0, tmp1 * tmp1 - (a * c + a * d + b * d)))
-    tmp2 = jnp.maximum(tmp2, tiny * tmp1)
+    tmp1 = 0.5 * (a + b + c + d)                  # = -(l1+l2)/2 >= 0
+    disc = jnp.maximum(0.0, tmp1 * tmp1 - (a * c + a * d + b * d))
+    tmp2 = jnp.sqrt(disc)                         # = (l1-l2)/2 >= 0
     lam1 = -tmp1 + tmp2
     lam2 = -tmp1 - tmp2
 
-    def safe_div(num, den):
-        return num / jnp.where(
-            jnp.abs(den) < eps, jnp.where(den < 0, -eps, eps), den)
+    # dd1(l1,l2): exact symmetric form, series for small half-gap
+    small = tmp2 < 1e-3
+    h2 = tmp2 * tmp2
+    sinh_over = jnp.where(
+        small, 1.0 + h2 / 6.0 * (1.0 + h2 / 20.0),
+        jnp.sinh(jnp.where(small, 1.0, tmp2)) / jnp.where(small, 1.0,
+                                                          tmp2))
+    dd1_12 = jnp.exp(-tmp1) * sinh_over
 
-    one = jnp.ones_like(a)
-    V = jnp.stack([
-        jnp.stack([safe_div(jnp.maximum(eps, b), a + lam1),
-                   safe_div(b, a + lam2),
-                   b / jnp.maximum(eps, a)], -1),
-        jnp.stack([one, one, one], -1),
-        jnp.stack([safe_div(c, d + lam1),
-                   safe_div(c, d + lam2),
-                   jnp.maximum(eps, c) / jnp.maximum(eps, d)], -1),
+    # dd2(0,l1,l2) = (dd1(l1,l2) - dd1(l1,0)) / l2; when |l2| is small
+    # all three eigenvalues are near zero -> truncated Taylor of the
+    # second divided difference of exp at (0,l1,l2)
+    tiny2 = jnp.abs(lam2) < 1e-3
+    lam2_safe = jnp.where(tiny2, 1.0, lam2)
+    dd2_exact = (dd1_12 - _phi1(lam1)) / lam2_safe
+    s1 = lam1 + lam2
+    dd2_series = (0.5 + s1 / 6.0
+                  + (lam1 * lam1 + lam1 * lam2 + lam2 * lam2) / 24.0)
+    dd2 = jnp.where(tiny2, dd2_series, dd2_exact)
+
+    zero = jnp.zeros_like(a)
+    M = jnp.stack([
+        jnp.stack([-a, b, zero], -1),
+        jnp.stack([a, -b - c, d], -1),
+        jnp.stack([zero, c, -d], -1),
     ], -2)
-    diag = jnp.stack([jnp.exp(lam1), jnp.exp(lam2), jnp.ones_like(lam1)],
-                     -1)
-    # R = V @ diag(diag) @ V^-1; W = diag @ V^-1 solved as W^T = V^-T D
-    # (radiation_matrix.F90:570-631 diag_mat_right_divide_3)
-    D = diag[..., None] * jnp.eye(3, dtype=dtype)
-    W = jnp.swapaxes(solve_mat(jnp.swapaxes(V, -1, -2), D), -1, -2)
-    return V @ W
+    eye = jnp.eye(3, dtype=dtype)
+    M_shift = M - lam1[..., None, None] * eye
+    return (eye + _phi1(lam1)[..., None, None] * M
+            + dd2[..., None, None] * (M @ M_shift))

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ecrad_tpu.solvers import adding, two_stream
 from ecrad_tpu.solvers.lw_derivatives import lw_derivatives_ica
+from ecrad_tpu import profiling
 
 
 class McicaLwOutput(NamedTuple):
@@ -86,6 +87,7 @@ def _merge_cloud_lw(od_clear, od_cloud_g, cloudy_mask,
     return od_total, ssa_total, g_total
 
 
+@profiling.traced("radiation_mcica_lw:solver_mcica_lw")
 def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     band_from_g, od_scaling, total_cloud_cover,
                     cloud_fraction, planck_hl, emission, albedo,
@@ -188,6 +190,7 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     return out
 
 
+@profiling.traced("radiation_mcica_sw:solver_mcica_sw")
 def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     band_from_g, od_scaling, total_cloud_cover,
                     cloud_fraction, incoming_sw, cos_sza,

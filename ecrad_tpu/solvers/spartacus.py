@@ -37,6 +37,7 @@ from ecrad_tpu.solvers.mcica import McicaLwOutput, McicaSwOutput
 from ecrad_tpu.solvers.tripleclouds import (calc_region_properties,
                                             calc_overlap_matrices,
                                             _merge_regions)
+from ecrad_tpu import profiling
 
 # radiation_constants.F90:30-33
 R_OVER_G = 287.058 / 9.80665
@@ -202,6 +203,7 @@ def _zero_clear(mats, clear):
 # ---------------------------------------------------------------------------
 
 @_highest_precision
+@profiling.traced("radiation_spartacus_sw:solver_spartacus_sw")
 def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
                         ssa_cloud_b, g_cloud_b, band_from_g,
                         cloud_fraction, fractional_std, overlap_param,
@@ -588,6 +590,7 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
 # ---------------------------------------------------------------------------
 
 @_highest_precision
+@profiling.traced("radiation_spartacus_lw:solver_spartacus_lw")
 def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
                         ssa_cloud_b, g_cloud_b, band_from_g,
                         cloud_fraction, fractional_std, overlap_param,

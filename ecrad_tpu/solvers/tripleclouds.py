@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ecrad_tpu.config import Config, PdfShape
 from ecrad_tpu.solvers import two_stream
 from ecrad_tpu.solvers.mcica import McicaLwOutput, McicaSwOutput
+from ecrad_tpu import profiling
 
 # radiation_regions.F90:10-18
 MIN_GAMMA_OD_SCALING = 0.025
@@ -151,6 +152,7 @@ def _merge_regions(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     return od_tot, ssa_tot, g_tot
 
 
+@profiling.traced("radiation_tripleclouds_sw:solver_tripleclouds_sw")
 def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
                            ssa_cloud_b, g_cloud_b, band_from_g,
                            cloud_fraction, fractional_std, overlap_param,
@@ -323,6 +325,7 @@ def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
         flux_dn_direct_clear_g=fdir_clear_g)
 
 
+@profiling.traced("radiation_tripleclouds_lw:solver_tripleclouds_lw")
 def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
                            ssa_cloud_b, g_cloud_b, band_from_g,
                            cloud_fraction, fractional_std, overlap_param,
