@@ -41,6 +41,7 @@ class DriverConfig:
     cloud_separation_scale_power: float = 1.0
     cloud_inhom_separation_factor: float = 1.0
     overlap_decorr_length: float = -1.0          # override, m
+    overlap_decorr_length_scaling: float = -1.0
     high_inv_effective_size: float = -1.0
     middle_inv_effective_size: float = -1.0
     low_inv_effective_size: float = -1.0
@@ -75,6 +76,10 @@ class DriverConfig:
                 kw[k] = v
             elif k == "skin_temperature":
                 kw["skin_temperature_override"] = v
+            elif k == "sw_albedo":
+                kw["sw_albedo_override"] = v
+            elif k == "lw_emissivity":
+                kw["lw_emissivity_override"] = v
             elif k == "cos_solar_zenith_angle":
                 kw["cos_sza_override"] = v
             elif k == "solar_irradiance_override":
@@ -203,7 +208,9 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         if dc.skin_temperature_override >= 0.0:
             skin_t = np.full(ncol, dc.skin_temperature_override)
 
-        sw_albedo = f.get("sw_albedo", dtype)
+        sw_albedo = (f.get("sw_albedo", dtype)
+                     if f.exists("sw_albedo")
+                     else np.full((ncol, 1), 0.0))
         if sw_albedo.ndim == 1:
             sw_albedo = sw_albedo[:, None]
         if dc.sw_albedo_override >= 0.0:
@@ -215,7 +222,9 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         if sw_albedo_direct is not None and dc.sw_albedo_override >= 0.0:
             sw_albedo_direct = np.full_like(sw_albedo_direct,
                                             dc.sw_albedo_override)
-        lw_emissivity = f.get("lw_emissivity", dtype)
+        lw_emissivity = (f.get("lw_emissivity", dtype)
+                         if f.exists("lw_emissivity")
+                         else np.full((ncol, 1), 1.0))
         if lw_emissivity.ndim == 1:
             lw_emissivity = lw_emissivity[:, None]
         if dc.lw_emissivity_override >= 0.0:
@@ -261,6 +270,18 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
                 pressure_hl, temperature_hl, dc.overlap_decorr_length)
         elif f.exists("overlap_param"):
             overlap_param = f.get("overlap_param", dtype)
+            # overlap_decorr_length_scaling on a file-provided overlap
+            # parameter: alpha = alpha^(1/scaling), zeroed if scaling==0
+            # (ecrad_driver_read_input.F90:247-262)
+            if dc.overlap_decorr_length_scaling > 0.0:
+                pos = overlap_param > 0.0
+                overlap_param = np.where(
+                    pos,
+                    np.where(pos, overlap_param, 1.0)
+                    ** (1.0 / dc.overlap_decorr_length_scaling),
+                    overlap_param)
+            elif dc.overlap_decorr_length_scaling == 0.0:
+                overlap_param = np.zeros_like(overlap_param)
         else:
             overlap_param = compute_overlap_param(
                 pressure_hl, temperature_hl, DECORR_LENGTH_DEFAULT)
