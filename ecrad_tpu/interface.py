@@ -513,6 +513,28 @@ def radiation(config: Config, tables: Tables, *,
 
     flux_kw = {}
 
+    # spectral-flux projection matrices (ng, nspec): identity for g-point
+    # output, one-hot band map for band output, else None — the vertical
+    # scans project fluxes through these instead of materializing
+    # (ncol, nlev+1, ng) profiles (see solvers/outputs.py)
+    def _spec(band_from_g, ng, nbands):
+        if config.do_save_gpoint_flux:
+            return np.eye(ng, dtype=np.float64)
+        if config.do_save_spectral_flux:
+            return (np.asarray(band_from_g)[:, None]
+                    == np.arange(nbands)[None, :]).astype(np.float64)
+        return None
+
+    spec_lw_m = (_spec(tables.band_from_g_lw, config.n_g_lw,
+                       config.n_bands_lw) if config.do_lw else None)
+    spec_sw_m = (_spec(tables.band_from_g_sw, config.n_g_sw,
+                       config.n_bands_sw) if config.do_sw else None)
+    dt = pressure_hl.dtype
+    if spec_lw_m is not None:
+        spec_lw_m = jnp.asarray(spec_lw_m, dt)
+    if spec_sw_m is not None:
+        spec_sw_m = jnp.asarray(spec_sw_m, dt)
+
     if config.do_lw:
         lw_emission = go.lw_emission * (1.0 - lw_albedo_g)
 
@@ -521,7 +543,8 @@ def radiation(config: Config, tables: Tables, *,
                 od_lw, ssa_lw, g_lw_arr, planck_hl, lw_emission,
                 lw_albedo_g,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
-                do_lw_derivatives=config.do_lw_derivatives)
+                do_lw_derivatives=config.do_lw_derivatives,
+                spec_matrix=spec_lw_m)
         elif config.lw_solver == Solver.MCICA:
             lw = mcica.solver_mcica_lw(
                 od_lw, ssa_lw, g_lw_arr,
@@ -532,7 +555,8 @@ def radiation(config: Config, tables: Tables, *,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
-                do_lw_derivatives=config.do_lw_derivatives)
+                do_lw_derivatives=config.do_lw_derivatives,
+                spec_matrix=spec_lw_m)
         elif config.lw_solver == Solver.HOMOGENEOUS:
             # plane-parallel clouds fill the gridbox
             # (radiation_homogeneous_lw.F90): equivalent to McICA with
@@ -549,7 +573,8 @@ def radiation(config: Config, tables: Tables, *,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
-                do_lw_derivatives=config.do_lw_derivatives)
+                do_lw_derivatives=config.do_lw_derivatives,
+                spec_matrix=spec_lw_m)
             lw = lw._replace(
                 cloud_cover=jnp.full_like(any_cloud, -1.0))
         elif config.lw_solver == Solver.TRIPLECLOUDS:
@@ -558,7 +583,7 @@ def radiation(config: Config, tables: Tables, *,
                 cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
                 tables.band_from_g_lw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], planck_hl, lw_emission,
-                lw_albedo_g)
+                lw_albedo_g, spec_matrix=spec_lw_m)
         elif config.lw_solver == Solver.SPARTACUS:
             perm = _spartacus_perm(config, is_sw=False)
             pj = jnp.asarray(perm)
@@ -571,61 +596,37 @@ def radiation(config: Config, tables: Tables, *,
                 cloud["inv_cloud_effective_size"],
                 cloud.get("inv_inhom_effective_size"),
                 pressure_hl, temperature_hl,
-                take(planck_hl), take(lw_emission), take(lw_albedo_g))
+                take(planck_hl), take(lw_emission), take(lw_albedo_g),
+                spec_matrix=(None if spec_lw_m is None
+                             else spec_lw_m[pj]))
             lw = _unpermute_g_fields(lw, perm)
         else:
             raise NotImplementedError(
                 f"LW solver {config.lw_solver} not yet implemented")
 
-        is_mcica_lw = (config.lw_solver in (Solver.MCICA,
-                                            Solver.TRIPLECLOUDS,
-                                            Solver.SPARTACUS,
-                                            Solver.HOMOGENEOUS)
-                       and do_clouds)
-        if is_mcica_lw:
-            flux_kw.update(
-                lw_up=lw.flux_up, lw_dn=lw.flux_dn,
-                lw_up_clear=lw.flux_up_clear,
-                lw_dn_clear=lw.flux_dn_clear,
-                cloud_cover_lw=lw.cloud_cover)
-            lw_up_g, lw_dn_g = lw.flux_up_g, lw.flux_dn_g
-            lw_up_clear_g, lw_dn_clear_g = (lw.flux_up_clear_g,
-                                            lw.flux_dn_clear_g)
-        else:
-            flux_kw.update(
-                lw_up=lw.flux_up, lw_dn=lw.flux_dn,
-                lw_up_clear=lw.flux_up, lw_dn_clear=lw.flux_dn,
-                cloud_cover_lw=jnp.zeros_like(cos_sza))
-            lw_up_g, lw_dn_g = lw.flux_up_g, lw.flux_dn_g
-            lw_up_clear_g, lw_dn_clear_g = lw.flux_up_g, lw.flux_dn_g
+        flux_kw.update(
+            lw_up=lw.flux_up, lw_dn=lw.flux_dn,
+            lw_up_clear=lw.flux_up_clear,
+            lw_dn_clear=lw.flux_dn_clear,
+            cloud_cover_lw=lw.cloud_cover)
         if config.do_lw_derivatives:
             flux_kw["lw_derivatives"] = lw.lw_derivatives
-        if config.do_save_spectral_flux or config.do_save_gpoint_flux:
+        if spec_lw_m is not None:
             # do_save_gpoint_flux makes the spectral axis the g-points
             # (radiation_config.F90 consolidate: i_spec_from_reordered_g)
-            if config.do_save_gpoint_flux:
-                spec_lw = np.arange(config.n_g_lw)
-                n_spec_lw = config.n_g_lw
-            else:
-                spec_lw = tables.band_from_g_lw
-                n_spec_lw = config.n_bands_lw
-            flux_kw["lw_up_band"] = indexed_sum_g(
-                lw_up_g, spec_lw, n_spec_lw)
-            flux_kw["lw_dn_band"] = indexed_sum_g(
-                lw_dn_g, spec_lw, n_spec_lw)
-            flux_kw["lw_up_clear_band"] = indexed_sum_g(
-                lw_up_clear_g, spec_lw, n_spec_lw)
-            flux_kw["lw_dn_clear_band"] = indexed_sum_g(
-                lw_dn_clear_g, spec_lw, n_spec_lw)
+            flux_kw["lw_up_band"] = lw.flux_up_s
+            flux_kw["lw_dn_band"] = lw.flux_dn_s
+            flux_kw["lw_up_clear_band"] = lw.flux_up_clear_s
+            flux_kw["lw_dn_clear_band"] = lw.flux_dn_clear_s
         if config.do_toa_spectral_flux:
             # radiation_flux.F90:579-660 calc_toa_spectral
             flux_kw["lw_up_toa_band"] = indexed_sum_g(
-                lw_up_g[:, 0], tables.band_from_g_lw, config.n_bands_lw)
+                lw.lw_up_toa_g, tables.band_from_g_lw, config.n_bands_lw)
             flux_kw["lw_up_toa_clear_band"] = indexed_sum_g(
-                lw_up_clear_g[:, 0], tables.band_from_g_lw,
+                lw.lw_up_toa_clear_g, tables.band_from_g_lw,
                 config.n_bands_lw)
         if config.do_canopy_fluxes_lw:
-            lw_dn_surf_g = lw_dn_g[:, -1, :]
+            lw_dn_surf_g = lw.lw_dn_surf_g
             if config.use_canopy_full_spectrum_lw:
                 flux_kw["lw_dn_surf_canopy"] = lw_dn_surf_g
             elif config.do_nearest_spectral_lw_emiss:
@@ -647,22 +648,8 @@ def radiation(config: Config, tables: Tables, *,
                 go.incoming_sw, cos_sza,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
                 do_sw_delta_scaling_with_gases=(
-                    config.do_sw_delta_scaling_with_gases))
-            sw_up = sw.flux_up
-            sw_dn = sw.flux_dn_diffuse + sw.flux_dn_direct
-            sw_dn_direct = sw.flux_dn_direct
-            sw_up_clear, sw_dn_clear = sw_up, sw_dn
-            sw_dn_direct_clear = sw_dn_direct
-            cloud_cover_sw = jnp.zeros_like(cos_sza)
-            sw_dn_diffuse_surf_g = sw.flux_dn_diffuse_g[:, -1, :]
-            sw_dn_direct_surf_g = sw.flux_dn_direct_g[:, -1, :]
-            sw_dn_diffuse_surf_clear_g = sw_dn_diffuse_surf_g
-            sw_dn_direct_surf_clear_g = sw_dn_direct_surf_g
-            sw_up_g = sw.flux_up_g
-            sw_dn_g = sw.flux_dn_diffuse_g + sw.flux_dn_direct_g
-            sw_dn_direct_g = sw.flux_dn_direct_g
-            sw_up_clear_g, sw_dn_clear_g = sw_up_g, sw_dn_g
-            sw_dn_direct_clear_g = sw_dn_direct_g
+                    config.do_sw_delta_scaling_with_gases),
+                spec_matrix=spec_sw_m)
         elif config.sw_solver == Solver.HOMOGENEOUS:
             ones = jnp.ones(od_sw.shape, od_sw.dtype)
             any_cloud = jnp.any(
@@ -676,43 +663,17 @@ def radiation(config: Config, tables: Tables, *,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_sw_delta_scaling_with_gases=(
-                    config.do_sw_delta_scaling_with_gases))
+                    config.do_sw_delta_scaling_with_gases),
+                spec_matrix=spec_sw_m)
             sw = sw._replace(cloud_cover=jnp.full_like(any_cloud, -1.0))
-            sw_up, sw_dn = sw.flux_up, sw.flux_dn
-            sw_dn_direct = sw.flux_dn_direct
-            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
-            sw_dn_direct_clear = sw.flux_dn_direct_clear
-            cloud_cover_sw = sw.cloud_cover
-            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
-            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
-            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
-            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
-            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
-            sw_dn_direct_g = sw.flux_dn_direct_g
-            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
-                                            sw.flux_dn_clear_g)
-            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
         elif config.sw_solver == Solver.TRIPLECLOUDS:
             sw = tripleclouds.solver_tripleclouds_sw(
                 config, od_sw, ssa_sw, g_sw_arr,
                 cl["od_sw"], cl["ssa_sw"], cl["g_sw"],
                 tables.band_from_g_sw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], go.incoming_sw, cos_sza,
-                sw_albedo_diffuse_g, sw_albedo_direct_g)
-            sw_up, sw_dn = sw.flux_up, sw.flux_dn
-            sw_dn_direct = sw.flux_dn_direct
-            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
-            sw_dn_direct_clear = sw.flux_dn_direct_clear
-            cloud_cover_sw = sw.cloud_cover
-            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
-            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
-            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
-            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
-            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
-            sw_dn_direct_g = sw.flux_dn_direct_g
-            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
-                                            sw.flux_dn_clear_g)
-            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
+                sw_albedo_diffuse_g, sw_albedo_direct_g,
+                spec_matrix=spec_sw_m)
         elif config.sw_solver == Solver.SPARTACUS:
             perm = _spartacus_perm(config, is_sw=True)
             pj = jnp.asarray(perm)
@@ -726,22 +687,10 @@ def radiation(config: Config, tables: Tables, *,
                 cloud.get("inv_inhom_effective_size"),
                 pressure_hl, temperature_hl,
                 take(go.incoming_sw), cos_sza,
-                take(sw_albedo_diffuse_g), take(sw_albedo_direct_g))
+                take(sw_albedo_diffuse_g), take(sw_albedo_direct_g),
+                spec_matrix=(None if spec_sw_m is None
+                             else spec_sw_m[pj]))
             sw = _unpermute_g_fields(sw, perm)
-            sw_up, sw_dn = sw.flux_up, sw.flux_dn
-            sw_dn_direct = sw.flux_dn_direct
-            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
-            sw_dn_direct_clear = sw.flux_dn_direct_clear
-            cloud_cover_sw = sw.cloud_cover
-            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
-            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
-            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
-            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
-            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
-            sw_dn_direct_g = sw.flux_dn_direct_g
-            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
-                                            sw.flux_dn_clear_g)
-            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
         elif config.sw_solver == Solver.MCICA:
             sw = mcica.solver_mcica_sw(
                 od_sw, ssa_sw, g_sw_arr,
@@ -752,30 +701,21 @@ def radiation(config: Config, tables: Tables, *,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_sw_delta_scaling_with_gases=(
-                    config.do_sw_delta_scaling_with_gases))
-            sw_up, sw_dn = sw.flux_up, sw.flux_dn
-            sw_dn_direct = sw.flux_dn_direct
-            sw_up_clear, sw_dn_clear = sw.flux_up_clear, sw.flux_dn_clear
-            sw_dn_direct_clear = sw.flux_dn_direct_clear
-            cloud_cover_sw = sw.cloud_cover
-            sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
-            sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
-            sw_dn_diffuse_surf_clear_g = sw.sw_dn_diffuse_surf_clear_g
-            sw_dn_direct_surf_clear_g = sw.sw_dn_direct_surf_clear_g
-            sw_up_g, sw_dn_g = sw.flux_up_g, sw.flux_dn_g
-            sw_dn_direct_g = sw.flux_dn_direct_g
-            sw_up_clear_g, sw_dn_clear_g = (sw.flux_up_clear_g,
-                                            sw.flux_dn_clear_g)
-            sw_dn_direct_clear_g = sw.flux_dn_direct_clear_g
+                    config.do_sw_delta_scaling_with_gases),
+                spec_matrix=spec_sw_m)
         else:
             raise NotImplementedError(
                 f"SW solver {config.sw_solver} not yet implemented")
 
+        sw_dn_diffuse_surf_g = sw.sw_dn_diffuse_surf_g
+        sw_dn_direct_surf_g = sw.sw_dn_direct_surf_g
+
         flux_kw.update(
-            sw_up=sw_up, sw_dn=sw_dn, sw_dn_direct=sw_dn_direct,
-            sw_up_clear=sw_up_clear, sw_dn_clear=sw_dn_clear,
-            sw_dn_direct_clear=sw_dn_direct_clear,
-            cloud_cover_sw=cloud_cover_sw)
+            sw_up=sw.flux_up, sw_dn=sw.flux_dn,
+            sw_dn_direct=sw.flux_dn_direct,
+            sw_up_clear=sw.flux_up_clear, sw_dn_clear=sw.flux_dn_clear,
+            sw_dn_direct_clear=sw.flux_dn_direct_clear,
+            cloud_cover_sw=sw.cloud_cover)
 
         if config.do_surface_sw_spectral_flux:
             dir_band = indexed_sum_g(sw_dn_direct_surf_g,
@@ -786,41 +726,34 @@ def radiation(config: Config, tables: Tables, *,
                                       config.n_bands_sw)
             flux_kw["sw_dn_direct_surf_band"] = dir_band
             flux_kw["sw_dn_surf_band"] = dir_band + diff_band
-            dir_clear_band = indexed_sum_g(sw_dn_direct_surf_clear_g,
+            dir_clear_band = indexed_sum_g(sw.sw_dn_direct_surf_clear_g,
                                            tables.band_from_g_sw,
                                            config.n_bands_sw)
-            diff_clear_band = indexed_sum_g(sw_dn_diffuse_surf_clear_g,
+            diff_clear_band = indexed_sum_g(sw.sw_dn_diffuse_surf_clear_g,
                                             tables.band_from_g_sw,
                                             config.n_bands_sw)
             flux_kw["sw_dn_surf_clear_band"] = (dir_clear_band
                                                + diff_clear_band)
             flux_kw["sw_dn_direct_surf_clear_band"] = dir_clear_band
-        if config.do_save_spectral_flux or config.do_save_gpoint_flux:
-            if config.do_save_gpoint_flux:
-                spec_sw = np.arange(config.n_g_sw)
-                n_spec_sw = config.n_g_sw
-            else:
-                spec_sw = tables.band_from_g_sw
-                n_spec_sw = config.n_bands_sw
-            flux_kw["sw_up_band"] = indexed_sum_g(
-                sw_up_g, spec_sw, n_spec_sw)
-            flux_kw["sw_dn_band"] = indexed_sum_g(
-                sw_dn_g, spec_sw, n_spec_sw)
-            flux_kw["sw_dn_direct_band"] = indexed_sum_g(
-                sw_dn_direct_g, spec_sw, n_spec_sw)
-            flux_kw["sw_up_clear_band"] = indexed_sum_g(
-                sw_up_clear_g, spec_sw, n_spec_sw)
-            flux_kw["sw_dn_clear_band"] = indexed_sum_g(
-                sw_dn_clear_g, spec_sw, n_spec_sw)
-            flux_kw["sw_dn_direct_clear_band"] = indexed_sum_g(
-                sw_dn_direct_clear_g, spec_sw, n_spec_sw)
+        if spec_sw_m is not None:
+            flux_kw["sw_up_band"] = sw.flux_up_s
+            flux_kw["sw_dn_band"] = sw.flux_dn_s
+            flux_kw["sw_dn_direct_band"] = sw.flux_dn_direct_s
+            flux_kw["sw_up_clear_band"] = sw.flux_up_clear_s
+            flux_kw["sw_dn_clear_band"] = sw.flux_dn_clear_s
+            flux_kw["sw_dn_direct_clear_band"] = sw.flux_dn_direct_clear_s
         if config.do_toa_spectral_flux:
+            # at TOA the downward flux is the direct beam only
+            sw_dn_toa_g = jnp.where((cos_sza > 0.0)[:, None],
+                                    go.incoming_sw
+                                    * jnp.maximum(cos_sza, 0.0)[:, None],
+                                    0.0)
             flux_kw["sw_dn_toa_band"] = indexed_sum_g(
-                sw_dn_g[:, 0], tables.band_from_g_sw, config.n_bands_sw)
+                sw_dn_toa_g, tables.band_from_g_sw, config.n_bands_sw)
             flux_kw["sw_up_toa_band"] = indexed_sum_g(
-                sw_up_g[:, 0], tables.band_from_g_sw, config.n_bands_sw)
+                sw.sw_up_toa_g, tables.band_from_g_sw, config.n_bands_sw)
             flux_kw["sw_up_toa_clear_band"] = indexed_sum_g(
-                sw_up_clear_g[:, 0], tables.band_from_g_sw,
+                sw.sw_up_toa_clear_g, tables.band_from_g_sw,
                 config.n_bands_sw)
         if config.do_canopy_fluxes_sw:
             if config.use_canopy_full_spectrum_sw:

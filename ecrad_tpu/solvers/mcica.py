@@ -9,56 +9,31 @@ golden-file validation) or the TPU-native counter-based generator
 (solvers/cloud_generator.py).  Everything else is batched JAX identical in
 structure to the cloudless solver, with clear/cloudy layer properties
 merged by masks rather than the reference's per-column branches.
+
+Flux outputs follow the reduced contract of solvers/outputs.py: broadband
+profiles + surface/TOA g slices (+ optional spectrally-projected
+profiles), with the g-sums computed inside the vertical scans — the
+reference optimizes exactly this reduction (radiation_mcica_sw.F90:
+185-222) because the g axis dominates the flux-array footprint.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
 from ecrad_tpu.solvers import adding, two_stream
 from ecrad_tpu.solvers.lw_derivatives import lw_derivatives_ica
+from ecrad_tpu.solvers.outputs import LwFluxes, SwFluxes
 from ecrad_tpu import profiling
 
 
-class McicaLwOutput(NamedTuple):
-    flux_up: jnp.ndarray
-    flux_dn: jnp.ndarray
-    flux_up_clear: jnp.ndarray
-    flux_dn_clear: jnp.ndarray
-    lw_dn_surf_g: jnp.ndarray
-    lw_up_toa_g: jnp.ndarray
-    lw_dn_surf_clear_g: jnp.ndarray
-    lw_up_toa_clear_g: jnp.ndarray
-    cloud_cover: jnp.ndarray
-    lw_derivatives: Optional[jnp.ndarray] = None
-    flux_up_g: Optional[jnp.ndarray] = None
-    flux_dn_g: Optional[jnp.ndarray] = None
-    flux_up_clear_g: Optional[jnp.ndarray] = None
-    flux_dn_clear_g: Optional[jnp.ndarray] = None
-
-
-class McicaSwOutput(NamedTuple):
-    flux_up: jnp.ndarray
-    flux_dn: jnp.ndarray
-    flux_dn_direct: jnp.ndarray
-    flux_up_clear: jnp.ndarray
-    flux_dn_clear: jnp.ndarray
-    flux_dn_direct_clear: jnp.ndarray
-    sw_dn_diffuse_surf_g: jnp.ndarray
-    sw_dn_direct_surf_g: jnp.ndarray
-    sw_up_toa_g: jnp.ndarray
-    sw_dn_diffuse_surf_clear_g: jnp.ndarray
-    sw_dn_direct_surf_clear_g: jnp.ndarray
-    sw_up_toa_clear_g: jnp.ndarray
-    cloud_cover: jnp.ndarray
-    flux_up_g: Optional[jnp.ndarray] = None
-    flux_dn_g: Optional[jnp.ndarray] = None            # diffuse+direct
-    flux_dn_direct_g: Optional[jnp.ndarray] = None
-    flux_up_clear_g: Optional[jnp.ndarray] = None
-    flux_dn_clear_g: Optional[jnp.ndarray] = None
-    flux_dn_direct_clear_g: Optional[jnp.ndarray] = None
+def _mix(w, cloudy, clear):
+    """total_cloud_cover-weighted scene blend, broadcasting w over
+    trailing axes (radiation_mcica_lw.F90:236-248)."""
+    if cloudy is None:
+        return None
+    w = w.reshape(w.shape + (1,) * (cloudy.ndim - 1))
+    return w * cloudy + (1.0 - w) * clear
 
 
 def _merge_cloud_lw(od_clear, od_cloud_g, cloudy_mask,
@@ -94,13 +69,15 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     cloud_fraction_threshold=1.0e-6,
                     do_lw_cloud_scattering=True,
                     do_lw_aerosol_scattering=False,
-                    do_lw_derivatives=False) -> McicaLwOutput:
+                    do_lw_derivatives=False,
+                    spec_matrix=None) -> LwFluxes:
     """Args:
       od/ssa/g: clear-sky (gas+aerosol) (ncol, nlev, ng)
       od_cloud_b/...: in-cloud per band (ncol, nlev, nband)
       band_from_g: (ng,) 0-based
       od_scaling: (ncol, nlev, ng); total_cloud_cover (ncol,)
       cloud_fraction: (ncol, nlev)
+      spec_matrix: optional (ng, nspec) projection for spectral profiles
     """
     planck_top, planck_bot = planck_hl[:, :-1], planck_hl[:, 1:]
     bb = jnp.asarray(band_from_g)
@@ -109,15 +86,16 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     if do_lw_aerosol_scattering:
         ref_clear, trans_clear, src_up_clear, src_dn_clear = \
             two_stream.lw_ref_trans(od, ssa, g, planck_top, planck_bot)
-        fup_clear_g, fdn_clear_g = adding.adding_lw(
+        clear = adding.adding_lw_reduced(
             ref_clear, trans_clear, src_up_clear, src_dn_clear,
-            emission, albedo)
+            emission, albedo, spec_matrix)
     else:
         trans_clear, src_up_clear, src_dn_clear = \
             two_stream.lw_no_scattering_trans(od, planck_top, planck_bot)
         ref_clear = jnp.zeros_like(trans_clear)
-        fup_clear_g, fdn_clear_g = adding.lw_no_scattering(
-            trans_clear, src_up_clear, src_dn_clear, emission, albedo)
+        clear = adding.lw_no_scattering_reduced(
+            trans_clear, src_up_clear, src_dn_clear, emission, albedo,
+            spec_matrix)
 
     # --- total sky
     cloudy_layer = cloud_fraction >= cloud_fraction_threshold
@@ -132,53 +110,52 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
         do_cloud_scattering=do_lw_cloud_scattering,
         do_aerosol_scattering=do_lw_aerosol_scattering)
 
+    mask = cloudy_layer[..., None]
     if do_lw_cloud_scattering:
         refl_c, trans_c, src_up_c, src_dn_c = two_stream.lw_ref_trans(
             od_total, ssa_total, g_total, planck_top, planck_bot)
-        mask = cloudy_layer[..., None]
         refl = jnp.where(mask, refl_c, ref_clear)
         trans = jnp.where(mask, trans_c, trans_clear)
         src_up = jnp.where(mask, src_up_c, src_up_clear)
         src_dn = jnp.where(mask, src_dn_c, src_dn_clear)
-        fup_g, fdn_g = adding.adding_lw(refl, trans, src_up, src_dn,
-                                        emission, albedo)
+        tot = adding.adding_lw_reduced(refl, trans, src_up, src_dn,
+                                       emission, albedo, spec_matrix)
     else:
         trans_c, src_up_c, src_dn_c = \
             two_stream.lw_no_scattering_trans(od_total, planck_top,
                                               planck_bot)
-        mask = cloudy_layer[..., None]
         trans = jnp.where(mask, trans_c, trans_clear)
         src_up = jnp.where(mask, src_up_c, src_up_clear)
         src_dn = jnp.where(mask, src_dn_c, src_dn_clear)
-        fup_g, fdn_g = adding.lw_no_scattering(trans, src_up, src_dn,
-                                               emission, albedo)
+        tot = adding.lw_no_scattering_reduced(trans, src_up, src_dn,
+                                              emission, albedo,
+                                              spec_matrix)
 
     # --- combine with cloud cover weights; profile with no cloud → clear
     tcc = total_cloud_cover
     has_cloud = (tcc >= cloud_fraction_threshold)
-    w = jnp.where(has_cloud, tcc, 0.0)[:, None, None]
-    fup_g_tot = w * fup_g + (1.0 - w) * fup_clear_g
-    fdn_g_tot = w * fdn_g + (1.0 - w) * fdn_clear_g
+    w = jnp.where(has_cloud, tcc, 0.0)
 
-    out = McicaLwOutput(
-        flux_up=jnp.sum(fup_g_tot, axis=-1),
-        flux_dn=jnp.sum(fdn_g_tot, axis=-1),
-        flux_up_clear=jnp.sum(fup_clear_g, axis=-1),
-        flux_dn_clear=jnp.sum(fdn_clear_g, axis=-1),
-        lw_dn_surf_g=fdn_g_tot[:, -1, :],
-        lw_up_toa_g=fup_g_tot[:, 0, :],
-        lw_dn_surf_clear_g=fdn_clear_g[:, -1, :],
-        lw_up_toa_clear_g=fup_clear_g[:, 0, :],
+    out = LwFluxes(
+        flux_up=_mix(w, tot.up, clear.up),
+        flux_dn=_mix(w, tot.dn, clear.dn),
+        flux_up_clear=clear.up,
+        flux_dn_clear=clear.dn,
+        lw_dn_surf_g=_mix(w, tot.dn_surf_g, clear.dn_surf_g),
+        lw_up_toa_g=_mix(w, tot.up_toa_g, clear.up_toa_g),
+        lw_dn_surf_clear_g=clear.dn_surf_g,
+        lw_up_toa_clear_g=clear.up_toa_g,
         cloud_cover=jnp.where(has_cloud, tcc, 0.0),
-        flux_up_g=fup_g_tot, flux_dn_g=fdn_g_tot,
-        flux_up_clear_g=fup_clear_g, flux_dn_clear_g=fdn_clear_g)
+        flux_up_s=_mix(w, tot.up_s, clear.up_s),
+        flux_dn_s=_mix(w, tot.dn_s, clear.dn_s),
+        flux_up_clear_s=clear.up_s,
+        flux_dn_clear_s=clear.dn_s)
 
     if do_lw_derivatives:
         # cloudy-scene derivative, then blend with clear
         # (radiation_mcica_lw.F90:236-248; modify_lw_derivatives_ica)
-        deriv_cloudy = lw_derivatives_ica(trans, fup_g[:, -1, :])
-        deriv_clear = lw_derivatives_ica(trans_clear,
-                                         fup_clear_g[:, -1, :])
+        deriv_cloudy = lw_derivatives_ica(trans, tot.up_surf_g)
+        deriv_clear = lw_derivatives_ica(trans_clear, clear.up_surf_g)
         wd = jnp.where(has_cloud, 1.0 - tcc, 1.0)[:, None]
         deriv = jnp.where(
             has_cloud[:, None],
@@ -196,7 +173,8 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     cloud_fraction, incoming_sw, cos_sza,
                     albedo_diffuse, albedo_direct,
                     cloud_fraction_threshold=1.0e-6,
-                    do_sw_delta_scaling_with_gases=False) -> McicaSwOutput:
+                    do_sw_delta_scaling_with_gases=False,
+                    spec_matrix=None) -> SwFluxes:
     mu0 = jnp.maximum(cos_sza, 1.0e-10)[:, None, None]
     bb = jnp.asarray(band_from_g)
 
@@ -206,10 +184,10 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
         od_c, ssa_c, g_c = two_stream.delta_eddington(od_c, ssa_c, g_c)
     r_cl, t_cl, rdir_cl, tdd_cl, tdir_cl = two_stream.sw_ref_trans(
         mu0, od_c, ssa_c, g_c)
-    fup_clear_g, fdnd_clear_g, fdir_clear_g = adding.adding_sw(
+    clear = adding.adding_sw_reduced(
         incoming_sw, albedo_diffuse, albedo_direct,
         jnp.maximum(cos_sza, 1.0e-10)[:, None],
-        r_cl, t_cl, rdir_cl, tdd_cl, tdir_cl)
+        r_cl, t_cl, rdir_cl, tdd_cl, tdir_cl, spec_matrix)
 
     # --- total sky: merge cloud into gas optics per g
     cloudy_layer = cloud_fraction >= cloud_fraction_threshold
@@ -235,43 +213,52 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     rdir = jnp.where(m, rdir_c, rdir_cl)
     tdd = jnp.where(m, tdd_c, tdd_cl)
     tdir = jnp.where(m, tdir_c, tdir_cl)
-    fup_g, fdnd_g, fdir_g = adding.adding_sw(
+    tot = adding.adding_sw_reduced(
         incoming_sw, albedo_diffuse, albedo_direct,
         jnp.maximum(cos_sza, 1.0e-10)[:, None],
-        refl, trans, rdir, tdd, tdir)
+        refl, trans, rdir, tdd, tdir, spec_matrix)
 
     tcc = total_cloud_cover
     has_cloud = tcc >= cloud_fraction_threshold
     day = cos_sza > 0.0
-    w = jnp.where(has_cloud, tcc, 0.0)[:, None, None]
-    zero_night = lambda x: jnp.where(day[:, None, None], x, 0.0)
-    fup_g_tot = zero_night(w * fup_g + (1.0 - w) * fup_clear_g)
-    fdnd_g_tot = zero_night(w * fdnd_g + (1.0 - w) * fdnd_clear_g)
-    fdir_g_tot = zero_night(w * fdir_g + (1.0 - w) * fdir_clear_g)
-    fup_clear_g = zero_night(fup_clear_g)
-    fdnd_clear_g = zero_night(fdnd_clear_g)
-    fdir_clear_g = zero_night(fdir_clear_g)
+    w = jnp.where(has_cloud, tcc, 0.0)
 
-    return McicaSwOutput(
-        flux_up=jnp.sum(fup_g_tot, axis=-1),
-        flux_dn=jnp.sum(fdnd_g_tot + fdir_g_tot, axis=-1),
-        flux_dn_direct=jnp.sum(fdir_g_tot, axis=-1),
-        flux_up_clear=jnp.sum(fup_clear_g, axis=-1),
-        flux_dn_clear=jnp.sum(fdnd_clear_g + fdir_clear_g, axis=-1),
-        flux_dn_direct_clear=jnp.sum(fdir_clear_g, axis=-1),
-        sw_dn_diffuse_surf_g=fdnd_g_tot[:, -1, :],
-        sw_dn_direct_surf_g=fdir_g_tot[:, -1, :],
-        sw_up_toa_g=fup_g_tot[:, 0, :],
-        sw_dn_diffuse_surf_clear_g=fdnd_clear_g[:, -1, :],
-        sw_dn_direct_surf_clear_g=fdir_clear_g[:, -1, :],
-        sw_up_toa_clear_g=fup_clear_g[:, 0, :],
+    def zn(x):
+        """Zero night columns (the reference only assigns for
+        cos_sza > 0, radiation_mcica_sw.F90)."""
+        if x is None:
+            return None
+        d = day.reshape(day.shape + (1,) * (x.ndim - 1))
+        return jnp.where(d, x, 0.0)
+
+    return SwFluxes(
+        flux_up=zn(_mix(w, tot.up, clear.up)),
+        flux_dn=zn(_mix(w, tot.dn_diffuse + tot.dn_direct,
+                        clear.dn_diffuse + clear.dn_direct)),
+        flux_dn_direct=zn(_mix(w, tot.dn_direct, clear.dn_direct)),
+        flux_up_clear=zn(clear.up),
+        flux_dn_clear=zn(clear.dn_diffuse + clear.dn_direct),
+        flux_dn_direct_clear=zn(clear.dn_direct),
+        sw_dn_diffuse_surf_g=zn(_mix(w, tot.dn_diffuse_surf_g,
+                                     clear.dn_diffuse_surf_g)),
+        sw_dn_direct_surf_g=zn(_mix(w, tot.dn_direct_surf_g,
+                                    clear.dn_direct_surf_g)),
+        sw_up_toa_g=zn(_mix(w, tot.up_toa_g, clear.up_toa_g)),
+        sw_dn_diffuse_surf_clear_g=zn(clear.dn_diffuse_surf_g),
+        sw_dn_direct_surf_clear_g=zn(clear.dn_direct_surf_g),
+        sw_up_toa_clear_g=zn(clear.up_toa_g),
         # night columns keep the reference's unset sentinel -1
         # (radiation_flux.F90 reset; radiation_mcica_sw.F90 only assigns
         # for cos_sza > 0)
         cloud_cover=jnp.where(day, tcc, -1.0),
-        flux_up_g=fup_g_tot,
-        flux_dn_g=fdnd_g_tot + fdir_g_tot,
-        flux_dn_direct_g=fdir_g_tot,
-        flux_up_clear_g=fup_clear_g,
-        flux_dn_clear_g=fdnd_clear_g + fdir_clear_g,
-        flux_dn_direct_clear_g=fdir_clear_g)
+        flux_up_s=zn(_mix(w, tot.up_s, clear.up_s)),
+        flux_dn_s=zn(_mix(w,
+                          None if tot.dn_diffuse_s is None
+                          else tot.dn_diffuse_s + tot.dn_direct_s,
+                          None if clear.dn_diffuse_s is None
+                          else clear.dn_diffuse_s + clear.dn_direct_s)),
+        flux_dn_direct_s=zn(_mix(w, tot.dn_direct_s, clear.dn_direct_s)),
+        flux_up_clear_s=zn(clear.up_s),
+        flux_dn_clear_s=zn(None if clear.dn_diffuse_s is None
+                           else clear.dn_diffuse_s + clear.dn_direct_s),
+        flux_dn_direct_clear_s=zn(clear.dn_direct_s))

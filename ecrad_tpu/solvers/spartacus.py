@@ -33,7 +33,9 @@ from ecrad_tpu.config import Config, Entrapment, PdfShape
 from ecrad_tpu.solvers import two_stream
 from ecrad_tpu.solvers.matrix import (expm, fast_expm_exchange_3,
                                       mat_x_vec, solve_mat, solve_vec)
-from ecrad_tpu.solvers.mcica import McicaLwOutput, McicaSwOutput
+from ecrad_tpu.solvers.outputs import (LwFluxes, SwFluxes,
+                                       lw_from_g_profiles,
+                                       sw_from_g_profiles)
 from ecrad_tpu.solvers.tripleclouds import (calc_region_properties,
                                             calc_overlap_matrices,
                                             _merge_regions)
@@ -210,7 +212,7 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
                         inv_cloud_size, inv_inhom_size,
                         pressure_hl, temperature_hl,
                         incoming_sw, cos_sza, albedo_diffuse,
-                        albedo_direct) -> McicaSwOutput:
+                        albedo_direct, spec_matrix=None) -> SwFluxes:
     """radiation_spartacus_sw.F90:41-965.  All g-dependent inputs must be
     in SPARTACUS (reordered) g order; band_from_g is the reordered map."""
     ncol, nlev, ng = od.shape
@@ -564,25 +566,12 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
     fup_g, fdn_diff_g, fdir_g = zn(fup_g), zn(fdn_diff_g), zn(fdir_g)
     fup_c_g, fdn_c_g, fdir_c_g = zn(fup_c_g), zn(fdn_c_g), zn(fdir_c_g)
 
-    return McicaSwOutput(
-        flux_up=jnp.sum(fup_g, -1),
-        flux_dn=jnp.sum(fdn_diff_g + fdir_g, -1),
-        flux_dn_direct=jnp.sum(fdir_g, -1),
-        flux_up_clear=jnp.sum(fup_c_g, -1),
-        flux_dn_clear=jnp.sum(fdn_c_g + fdir_c_g, -1),
-        flux_dn_direct_clear=jnp.sum(fdir_c_g, -1),
-        sw_dn_diffuse_surf_g=fdn_diff_g[:, -1],
-        sw_dn_direct_surf_g=fdir_g[:, -1],
-        sw_up_toa_g=fup_g[:, 0],
-        sw_dn_diffuse_surf_clear_g=fdn_c_g[:, -1],
-        sw_dn_direct_surf_clear_g=fdir_c_g[:, -1],
-        sw_up_toa_clear_g=fup_c_g[:, 0],
-        cloud_cover=P["cloud_cover"],
-        flux_up_g=fup_g, flux_dn_g=fdn_diff_g + fdir_g,
+    return sw_from_g_profiles(
+        flux_up_g=fup_g, flux_dn_diffuse_g=fdn_diff_g,
         flux_dn_direct_g=fdir_g,
-        flux_up_clear_g=fup_c_g,
-        flux_dn_clear_g=fdn_c_g + fdir_c_g,
-        flux_dn_direct_clear_g=fdir_c_g)
+        flux_up_clear_g=fup_c_g, flux_dn_diffuse_clear_g=fdn_c_g,
+        flux_dn_direct_clear_g=fdir_c_g,
+        cloud_cover=P["cloud_cover"], spec_matrix=spec_matrix)
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +585,8 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
                         cloud_fraction, fractional_std, overlap_param,
                         inv_cloud_size, inv_inhom_size,
                         pressure_hl, temperature_hl,
-                        planck_hl, emission, albedo) -> McicaLwOutput:
+                        planck_hl, emission, albedo,
+                        spec_matrix=None) -> LwFluxes:
     """radiation_spartacus_lw.F90:35-607.  g-dependent inputs reordered."""
     ncol, nlev, ng = od.shape
     dtype = od.dtype
@@ -822,16 +812,8 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
         lw_derivatives = jnp.concatenate(
             [dvals.T, jnp.ones((ncol, 1), dtype)], 1)
 
-    return McicaLwOutput(
-        flux_up=jnp.sum(fup_g, -1),
-        flux_dn=jnp.sum(fdn_g, -1),
-        flux_up_clear=jnp.sum(fup_c_g, -1),
-        flux_dn_clear=jnp.sum(fdn_c_g, -1),
-        lw_dn_surf_g=fdn_g[:, -1],
-        lw_up_toa_g=fup_g[:, 0],
-        lw_dn_surf_clear_g=fdn_c_g[:, -1],
-        lw_up_toa_clear_g=fup_c_g[:, 0],
-        cloud_cover=P["cloud_cover"],
-        lw_derivatives=lw_derivatives,
+    return lw_from_g_profiles(
         flux_up_g=fup_g, flux_dn_g=fdn_g,
-        flux_up_clear_g=fup_c_g, flux_dn_clear_g=fdn_c_g)
+        flux_up_clear_g=fup_c_g, flux_dn_clear_g=fdn_c_g,
+        cloud_cover=P["cloud_cover"], lw_derivatives=lw_derivatives,
+        spec_matrix=spec_matrix)

@@ -21,8 +21,21 @@ import jax.numpy as jnp
 
 from ecrad_tpu.config import Config, PdfShape
 from ecrad_tpu.solvers import two_stream
-from ecrad_tpu.solvers.mcica import McicaLwOutput, McicaSwOutput
+from ecrad_tpu.solvers.outputs import LwFluxes, SwFluxes
 from ecrad_tpu import profiling
+
+
+def _reduce_regions(x, spec_matrix):
+    """(ncol, nreg, ng) → (broadband (ncol,), spectral (ncol, nspec))."""
+    y = jnp.sum(x, axis=1)
+    bb = jnp.sum(y, axis=-1)
+    sp = None if spec_matrix is None else y @ spec_matrix
+    return bb, sp
+
+
+def _stack_prof(top, levels):
+    """top (ncol, ...) + levels (nlev, ncol, ...) → (ncol, nlev+1, ...)."""
+    return jnp.moveaxis(jnp.concatenate([top[None], levels], axis=0), 0, 1)
 
 # radiation_regions.F90:10-18
 MIN_GAMMA_OD_SCALING = 0.025
@@ -157,7 +170,7 @@ def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
                            ssa_cloud_b, g_cloud_b, band_from_g,
                            cloud_fraction, fractional_std, overlap_param,
                            incoming_sw, cos_sza, albedo_diffuse,
-                           albedo_direct) -> McicaSwOutput:
+                           albedo_direct, spec_matrix=None) -> SwFluxes:
     """radiation_tripleclouds_sw.F90:42-663 (batched, dense)."""
     ncol, nlev, ng = od.shape
     nreg = 3
@@ -243,20 +256,21 @@ def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
     (alb_top, albd_top), (alb_below_s, albd_below_s, inv_denom_s) = \
         jax.lax.scan(up_step, (alb_init, albd_init), xs, reverse=True)
 
-    # ---- clear-sky 1-region fluxes (standard adding, reuse scan)
+    # ---- clear-sky 1-region fluxes (standard adding, reduced)
     from ecrad_tpu.solvers import adding
-    fup_clear_g, fdnd_clear_g, fdir_clear_g = adding.adding_sw(
+    clear = adding.adding_sw_reduced(
         incoming_sw, albedo_diffuse, albedo_direct,
         jnp.maximum(cos_sza, 1.0e-10)[:, None],
-        r_cl, t_cl, rd_cl, tdd_cl, tdir_cl)
+        r_cl, t_cl, rd_cl, tdd_cl, tdir_cl, spec_matrix)
 
-    # ---- downward sweep
+    # ---- downward sweep, emitting spectrally-reduced fluxes per level;
+    # the pre-mixing surface slices ride in the carry
     fdir0 = incoming_sw[:, None, :] * reg_fracs[:, 0, :, None]
     fdn0 = jnp.zeros_like(fdir0)
     fup0 = fdir0 * albd_top
 
     def dn_step(carry, x):
-        fdn, fdir = carry
+        (fdn, fdir), _ = carry
         (refl_l, trans_l, rdir_l, tdd_l, tdir_l, alb_below, albd_below,
          v_below, cc_this, cc_below) = x
         fdn = (trans_l * fdn + fdir
@@ -268,68 +282,80 @@ def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
         fdn = jnp.where(m, 0.0, fdn)
         fdir = jnp.where(m, 0.0, fdir)
         fup = jnp.where(m, 0.0, fup)
+        up_bb, up_sp = _reduce_regions(fup, spec_matrix)
+        dn_bb, dn_sp = _reduce_regions(fdn, spec_matrix)
+        dir_bb, dir_sp = _reduce_regions(fdir, spec_matrix)
+        slices = (jnp.sum(fup, 1), jnp.sum(fdn, 1), jnp.sum(fdir, 1))
         # mix through the interface BELOW this layer
         skip = (cc_this & cc_below)[:, None, None]
         fdn_m = jnp.einsum("clr,crg->clg", v_below, fdn)
         fdir_m = jnp.einsum("clr,crg->clg", v_below, fdir)
         fdn_out = jnp.where(skip, fdn, fdn_m)
         fdir_out = jnp.where(skip, fdir, fdir_m)
-        return (fdn_out, fdir_out), (fup, fdn, fdir)
+        return (((fdn_out, fdir_out), slices),
+                (up_bb, dn_bb, dir_bb, up_sp, dn_sp, dir_sp))
 
     xs2 = (lev(refl), lev(trans), lev(ref_dir), lev(tdd), lev(tdir),
            alb_below_s, albd_below_s, lev(v_mat[:, 1:]),
            lev(clear_pad[:, 1:-1]), lev(clear_pad[:, 2:]))
-    _, (fup_l, fdn_l, fdir_l) = jax.lax.scan(dn_step, (fdn0, fdir0), xs2)
-
-    # assemble half-level profiles: sum over regions
-    tolev = lambda a: jnp.moveaxis(a, 0, 1)     # (ncol, nlev, nreg, ng)
-    fup_prof = jnp.concatenate([fup0[:, None], tolev(fup_l)], axis=1)
-    fdn_prof = jnp.concatenate([fdn0[:, None], tolev(fdn_l)], axis=1)
-    fdir_prof = jnp.concatenate([fdir0[:, None], tolev(fdir_l)], axis=1)
+    zslice = jnp.zeros((ncol, ng), od.dtype)
+    ((_, _), (fup_surf_g, fdn_surf_g, fdir_surf_g)), \
+        (up_bb, dn_bb, dir_bb, up_sp, dn_sp, dir_sp) = jax.lax.scan(
+            dn_step, ((fdn0, fdir0), (zslice, zslice, zslice)), xs2)
 
     day = (cos_sza > 0.0)
-    zero_night = lambda a: jnp.where(day[:, None, None, None], a, 0.0)
-    fup_prof = zero_night(fup_prof)
-    fdn_prof = zero_night(fdn_prof)
-    fdir_prof = zero_night(fdir_prof)
-    zn3 = lambda a: jnp.where(day[:, None, None], a, 0.0)
-    fup_clear_g = zn3(fup_clear_g)
-    fdnd_clear_g = zn3(fdnd_clear_g)
-    fdir_clear_g = zn3(fdir_clear_g)
 
-    mu0c = cos_sza[:, None, None]
-    fup_g = jnp.sum(fup_prof, axis=2)
-    fdn_diff_g = jnp.sum(fdn_prof, axis=2)
-    fdir_g = jnp.maximum(mu0c, 0.0) * jnp.sum(fdir_prof, axis=2)
+    def zn(x):
+        if x is None:
+            return None
+        d = day.reshape(day.shape + (1,) * (x.ndim - 1))
+        return jnp.where(d, x, 0.0)
 
-    return McicaSwOutput(
-        flux_up=jnp.sum(fup_g, axis=-1),
-        flux_dn=jnp.sum(fdn_diff_g + fdir_g, axis=-1),
-        flux_dn_direct=jnp.sum(fdir_g, axis=-1),
-        flux_up_clear=jnp.sum(fup_clear_g, axis=-1),
-        flux_dn_clear=jnp.sum(fdnd_clear_g + fdir_clear_g, axis=-1),
-        flux_dn_direct_clear=jnp.sum(fdir_clear_g, axis=-1),
-        sw_dn_diffuse_surf_g=fdn_diff_g[:, -1],
-        sw_dn_direct_surf_g=fdir_g[:, -1],
-        sw_up_toa_g=fup_g[:, 0],
-        sw_dn_diffuse_surf_clear_g=fdnd_clear_g[:, -1],
-        sw_dn_direct_surf_clear_g=fdir_clear_g[:, -1],
-        sw_up_toa_clear_g=fup_clear_g[:, 0],
+    mu0p = jnp.maximum(cos_sza, 0.0)
+    up0_bb, up0_sp = _reduce_regions(fup0, spec_matrix)
+    dir0_bb, dir0_sp = _reduce_regions(fdir0, spec_matrix)
+    fup_bb = _stack_prof(up0_bb, up_bb)
+    fdn_diff_bb = _stack_prof(jnp.zeros_like(up0_bb), dn_bb)
+    fdir_bb = mu0p[:, None] * _stack_prof(dir0_bb, dir_bb)
+    fdir_surf_g = mu0p[:, None] * fdir_surf_g
+
+    out = SwFluxes(
+        flux_up=zn(fup_bb),
+        flux_dn=zn(fdn_diff_bb + fdir_bb),
+        flux_dn_direct=zn(fdir_bb),
+        flux_up_clear=zn(clear.up),
+        flux_dn_clear=zn(clear.dn_diffuse + clear.dn_direct),
+        flux_dn_direct_clear=zn(clear.dn_direct),
+        sw_dn_diffuse_surf_g=zn(fdn_surf_g),
+        sw_dn_direct_surf_g=zn(fdir_surf_g),
+        sw_up_toa_g=zn(jnp.sum(fup0, axis=1)),
+        sw_dn_diffuse_surf_clear_g=zn(clear.dn_diffuse_surf_g),
+        sw_dn_direct_surf_clear_g=zn(clear.dn_direct_surf_g),
+        sw_up_toa_clear_g=zn(clear.up_toa_g),
         # Tripleclouds assigns cloud cover for all columns, including
         # night (calc_overlap_matrices runs before the mu0 check)
-        cloud_cover=cloud_cover,
-        flux_up_g=fup_g, flux_dn_g=fdn_diff_g + fdir_g,
-        flux_dn_direct_g=fdir_g,
-        flux_up_clear_g=fup_clear_g,
-        flux_dn_clear_g=fdnd_clear_g + fdir_clear_g,
-        flux_dn_direct_clear_g=fdir_clear_g)
+        cloud_cover=cloud_cover)
+    if spec_matrix is not None:
+        clear_dn_sp = clear.dn_diffuse_s + clear.dn_direct_s
+        fup_sp = _stack_prof(up0_sp, up_sp)
+        fdn_diff_sp = _stack_prof(jnp.zeros_like(up0_sp), dn_sp)
+        fdir_sp = mu0p[:, None, None] * _stack_prof(dir0_sp, dir_sp)
+        out = out._replace(
+            flux_up_s=zn(fup_sp),
+            flux_dn_s=zn(fdn_diff_sp + fdir_sp),
+            flux_dn_direct_s=zn(fdir_sp),
+            flux_up_clear_s=zn(clear.up_s),
+            flux_dn_clear_s=zn(clear_dn_sp),
+            flux_dn_direct_clear_s=zn(clear.dn_direct_s))
+    return out
 
 
 @profiling.traced("radiation_tripleclouds_lw:solver_tripleclouds_lw")
 def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
                            ssa_cloud_b, g_cloud_b, band_from_g,
                            cloud_fraction, fractional_std, overlap_param,
-                           planck_hl, emission, albedo) -> McicaLwOutput:
+                           planck_hl, emission, albedo,
+                           spec_matrix=None) -> LwFluxes:
     """radiation_tripleclouds_lw.F90:38-607 (batched, dense)."""
     ncol, nlev, ng = od.shape
     nreg = 3
@@ -356,11 +382,11 @@ def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
 
     from ecrad_tpu.solvers import adding
     if config.do_lw_aerosol_scattering:
-        fup_clear_g, fdn_clear_g = adding.adding_lw(
-            r_cl, t_cl, su_cl, sd_cl, emission, albedo)
+        clear = adding.adding_lw_reduced(
+            r_cl, t_cl, su_cl, sd_cl, emission, albedo, spec_matrix)
     else:
-        fup_clear_g, fdn_clear_g = adding.lw_no_scattering(
-            t_cl, su_cl, sd_cl, emission, albedo)
+        clear = adding.lw_no_scattering_reduced(
+            t_cl, su_cl, sd_cl, emission, albedo, spec_matrix)
 
     # cloudy regions
     od_r, ssa_r, g_r = _merge_regions(
@@ -419,12 +445,12 @@ def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
     (alb_top, src_top), (alb_below_s, src_below_s, inv_denom_s) = \
         jax.lax.scan(up_step, (alb_init, src_init), xs, reverse=True)
 
-    # ---- downward sweep
+    # ---- downward sweep, emitting spectrally-reduced fluxes per level
     fdn0 = jnp.zeros((ncol, nreg, ng), od.dtype)
     fup0 = src_top + alb_top * fdn0
 
     def dn_step(carry, x):
-        fdn = carry
+        fdn, _ = carry
         (refl_l, trans_l, sd_l, alb_below, src_below, v_below, cc_this,
          cc_below) = x
         fdn = (trans_l * fdn + refl_l * src_below + sd_l) \
@@ -433,40 +459,46 @@ def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
         m = cc_this[:, None, None] & (jnp.arange(nreg) > 0)[None, :, None]
         fdn = jnp.where(m, 0.0, fdn)
         fup = jnp.where(m, 0.0, fup)
+        up_bb, up_sp = _reduce_regions(fup, spec_matrix)
+        dn_bb, dn_sp = _reduce_regions(fdn, spec_matrix)
+        slices = (jnp.sum(fup, 1), jnp.sum(fdn, 1))
         skip = (cc_this & cc_below)[:, None, None]
         fdn_m = jnp.einsum("clr,crg->clg", v_below, fdn)
         fdn_out = jnp.where(skip, fdn, fdn_m)
-        return fdn_out, (fup, fdn)
+        return (fdn_out, slices), (up_bb, dn_bb, up_sp, dn_sp)
 
     xs2 = (lev(refl), lev(trans), lev(src_dn), alb_below_s, src_below_s,
            lev(v_mat[:, 1:]), lev(clear_pad[:, 1:-1]),
            lev(clear_pad[:, 2:]))
-    _, (fup_l, fdn_l) = jax.lax.scan(dn_step, fdn0, xs2)
+    zslice = jnp.zeros((ncol, ng), od.dtype)
+    (_, (fup_surf_g, fdn_surf_g)), (up_bb, dn_bb, up_sp, dn_sp) = \
+        jax.lax.scan(dn_step, (fdn0, (zslice, zslice)), xs2)
 
-    tolev = lambda a: jnp.moveaxis(a, 0, 1)
-    fup_prof = jnp.concatenate([fup0[:, None], tolev(fup_l)], axis=1)
-    fdn_prof = jnp.concatenate([fdn0[:, None], tolev(fdn_l)], axis=1)
-    fup_g = jnp.sum(fup_prof, axis=2)
-    fdn_g = jnp.sum(fdn_prof, axis=2)
+    up0_bb, up0_sp = _reduce_regions(fup0, spec_matrix)
+    fup_bb = _stack_prof(up0_bb, up_bb)
+    fdn_bb = _stack_prof(jnp.zeros_like(up0_bb), dn_bb)
 
-    out = McicaLwOutput(
-        flux_up=jnp.sum(fup_g, axis=-1),
-        flux_dn=jnp.sum(fdn_g, axis=-1),
-        flux_up_clear=jnp.sum(fup_clear_g, axis=-1),
-        flux_dn_clear=jnp.sum(fdn_clear_g, axis=-1),
-        lw_dn_surf_g=fdn_g[:, -1], lw_up_toa_g=fup_g[:, 0],
-        lw_dn_surf_clear_g=fdn_clear_g[:, -1],
-        lw_up_toa_clear_g=fup_clear_g[:, 0],
+    out = LwFluxes(
+        flux_up=fup_bb,
+        flux_dn=fdn_bb,
+        flux_up_clear=clear.up,
+        flux_dn_clear=clear.dn,
+        lw_dn_surf_g=fdn_surf_g, lw_up_toa_g=jnp.sum(fup0, axis=1),
+        lw_dn_surf_clear_g=clear.dn_surf_g,
+        lw_up_toa_clear_g=clear.up_toa_g,
         cloud_cover=cloud_cover,
-        flux_up_g=fup_g, flux_dn_g=fdn_g,
-        flux_up_clear_g=fup_clear_g, flux_dn_clear_g=fdn_clear_g)
+        flux_up_clear_s=clear.up_s, flux_dn_clear_s=clear.dn_s)
+    if spec_matrix is not None:
+        out = out._replace(
+            flux_up_s=_stack_prof(up0_sp, up_sp),
+            flux_dn_s=_stack_prof(jnp.zeros_like(up0_sp), dn_sp))
 
     if config.do_lw_derivatives:
         # Region-coupled Hogan-Bozzo derivatives
         # (radiation_lw_derivatives.F90:200-250
         # calc_lw_derivatives_region): propagate the per-region spectral
         # derivative upward through u-matrix mixing + transmittance
-        fup_surf = fup_g[:, -1, :]
+        fup_surf = fup_surf_g
         deriv0 = jnp.concatenate(
             [(fup_surf / jnp.sum(fup_surf, axis=-1,
                                  keepdims=True))[:, None, :],

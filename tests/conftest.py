@@ -22,6 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from ecrad_tpu.jax_setup import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 REFERENCE_DIR = "/root/reference"
 DATA_DIR = os.path.join(REFERENCE_DIR, "data")
 TEST_IFS_DIR = os.path.join(REFERENCE_DIR, "test", "ifs")
