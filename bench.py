@@ -29,6 +29,10 @@ def main():
     ncol_small = int(os.environ.get("BENCH_NCOL_SMALL", "512"))
     ncol_big = int(os.environ.get("BENCH_NCOL", "6144"))
     niter = int(os.environ.get("BENCH_NITER", "8"))
+    # NPROMA-style column blocking bounds the per-call HBM working set so
+    # the default ncol=6144 fits the 16GB chip (ecrad_tpu.pipeline,
+    # analog of driver/ifs_blocking.F90:328-331)
+    block = int(os.environ.get("BENCH_BLOCK", "2048"))
 
     import jax
     import jax.numpy as jnp
@@ -37,7 +41,8 @@ def main():
     import __graft_entry__ as ge
 
     def build(ncol):
-        step, args = ge._build(ncol=ncol, dtype="float32")
+        step, args = ge._build(ncol=ncol, dtype="float32",
+                               block_size=block if ncol > block else None)
 
         def fn_scalar(*a):
             flux = step(*a)

@@ -193,7 +193,10 @@ def run(config_path: str, input_path: str, output_path: str,
                 cl = dict(cl, od_scaling_lw=od_s,
                           total_cloud_cover_lw=tcc)
             kw = dict(kw, cloud=cl)
-        return radiation(config, tables, solar_irradiance=solar, **kw)
+        return radiation(
+            config, tables, solar_irradiance=solar,
+            spectral_solar_cycle_multiplier=float(
+                inp.spectral_solar_cycle_multiplier), **kw)
 
     fn = jax.jit(step) if jit else step
 

@@ -53,6 +53,11 @@ def setup_radiation(config: Config, data_dir: str = None):
             and config.gas_model_sw != config.gas_model_lw):
         raise NotImplementedError(
             "monochromatic gas optics cannot be mixed with other models")
+    if config.use_spectral_solar_cycle \
+            and config.gas_model_sw != GasModel.ECCKD:
+        # radiation_config.F90:1201-1203
+        raise ValueError(
+            "solar cycle only available with ecCKD gas optics model")
 
     kw = {}
     gas_meta = {}
@@ -83,6 +88,14 @@ def setup_radiation(config: Config, data_dir: str = None):
                    or "ecckd-1.4_sw_climate_rgb-32b_ckd-definition.nc")
         sw_file = find_data_file(ddir0, sw_file)
         t_sw, specdef_sw, meta_sw = ecckd_mod.load_ckd_model(sw_file)
+        if config.use_spectral_solar_cycle:
+            # radiation_config.F90:1200-1215 + radiation_ecckd.F90:295
+            ssi_file = find_data_file(
+                ddir0, config.ssi_override_file_name or "ssi_nrl2.nc")
+            ecckd_mod.read_spectral_solar_cycle(
+                t_sw, specdef_sw, ssi_file,
+                use_updated_solar_spectrum=(
+                    config.use_updated_solar_spectrum))
         gas_tables["sw"] = t_sw
         gas_meta["sw"] = meta_sw
         kw["n_g_sw"] = specdef_sw.ng
@@ -239,6 +252,10 @@ def setup_radiation(config: Config, data_dir: str = None):
             from ecrad_tpu.data import find_data_file
             with NcFile(find_data_file(ddir, pdf_file)) as f:
                 pdf_tables = {"fsd": f.get("fsd"), "val": f.get("x").T}
+            # Chebyshev fit of the inverse-CDF LUT for the TPU device
+            # generator (gathers have no fast path on the TPU VPU)
+            from ecrad_tpu.solvers.cloud_generator import fit_pdf_cheb
+            pdf_tables["cheb_fit"] = fit_pdf_cheb(pdf_tables)
 
     aerosol_tables = None
     if config.use_aerosols and config.n_aerosol_types > 0:
@@ -337,7 +354,9 @@ def _optical_properties(config: Config, tables: Tables, *,
                         pressure_hl, temperature_hl, gas_mmr,
                         cos_sza, skin_temperature, sw_albedo,
                         sw_albedo_direct, lw_emissivity,
-                        solar_irradiance, cloud=None, aerosol=None):
+                        solar_irradiance, cloud=None, aerosol=None,
+                        spectral_solar_scaling=None,
+                        spectral_solar_cycle_multiplier=0.0):
     """Surface + gas + aerosol + cloud optical properties — the front
     half of radiation() (radiation_interface.F90:200-383), shared with
     compute_radiative_properties for the debug dump."""
@@ -375,7 +394,10 @@ def _optical_properties(config: Config, tables: Tables, *,
                 skin_temperature=skin_temperature,
                 solar_irradiance=solar_irradiance,
                 min_gas_od_lw=config.min_gas_od_lw,
-                min_gas_od_sw=config.min_gas_od_sw)
+                min_gas_od_sw=config.min_gas_od_sw,
+                spectral_solar_scaling=(
+                    spectral_solar_scaling
+                    if config.use_spectral_solar_scaling else None))
             if do_lw_rrtmg:
                 go_kw.update(od_lw=r.od_lw, planck_hl=r.planck_hl,
                              lw_emission=r.lw_emission)
@@ -401,7 +423,10 @@ def _optical_properties(config: Config, tables: Tables, *,
                 go_kw["ssa_sw"] = ray / od_sw_tot
                 inc = ecckd_mod.calc_incoming_sw(
                     tables.gas["sw"], tables.gas_meta["sw"],
-                    solar_irradiance, phl.shape[0])
+                    solar_irradiance, phl.shape[0],
+                    solar_cycle_multiplier=(
+                        spectral_solar_cycle_multiplier
+                        if config.use_spectral_solar_cycle else 0.0))
                 go_kw["incoming_sw"] = jnp.where(
                     (cos_sza > 0.0)[:, None], inc, 0.0)
             if config.do_lw and config.gas_model_lw == GasModel.ECCKD:
@@ -485,7 +510,9 @@ def radiation(config: Config, tables: Tables, *,
               pressure_hl, temperature_hl, gas_mmr,
               cos_sza, skin_temperature, sw_albedo, sw_albedo_direct,
               lw_emissivity, solar_irradiance,
-              cloud=None, aerosol=None, iseed=None) -> Flux:
+              cloud=None, aerosol=None, iseed=None,
+              spectral_solar_scaling=None,
+              spectral_solar_cycle_multiplier=0.0) -> Flux:
     """The hot path (radiation_interface.F90:200-517). Jit with
     config static; all array args are traced.
 
@@ -501,7 +528,10 @@ def radiation(config: Config, tables: Tables, *,
             sw_albedo=sw_albedo, sw_albedo_direct=sw_albedo_direct,
             lw_emissivity=lw_emissivity,
             solar_irradiance=solar_irradiance, cloud=cloud,
-            aerosol=aerosol)
+            aerosol=aerosol,
+            spectral_solar_scaling=spectral_solar_scaling,
+            spectral_solar_cycle_multiplier=(
+                spectral_solar_cycle_multiplier))
     sw_albedo_direct_g = op["sw_albedo_direct_g"]
     sw_albedo_diffuse_g = op["sw_albedo_diffuse_g"]
     lw_albedo_g = op["lw_albedo_g"]

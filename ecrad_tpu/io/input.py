@@ -118,6 +118,8 @@ class RadiationInput:
     lw_emissivity: np.ndarray
     solar_irradiance: float
     iseed: np.ndarray
+    # ecrad_driver_read_input.F90:115-125
+    spectral_solar_cycle_multiplier: float = 0.0
     # True if the file stored levels surface-first and was flipped to the
     # internal TOA-first order (radiation_interface.F90:519
     # radiation_reverse); the driver flips output profiles back.
@@ -196,6 +198,16 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
             solar_irradiance = 1366.0
         if dc.solar_irradiance_override > 0.0:
             solar_irradiance = dc.solar_irradiance_override
+
+        # ecrad_driver_read_input.F90:115-125
+        if dc.solar_cycle_multiplier_override > -1.0e6:
+            spectral_solar_cycle_multiplier = \
+                dc.solar_cycle_multiplier_override
+        elif f.exists("spectral_solar_cycle_multiplier"):
+            spectral_solar_cycle_multiplier = f.get_scalar(
+                "spectral_solar_cycle_multiplier")
+        else:
+            spectral_solar_cycle_multiplier = 0.0
 
         cos_sza = (f.get("cos_solar_zenith_angle", dtype)
                    if f.exists("cos_solar_zenith_angle")
@@ -402,6 +414,7 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         lw_emissivity=lw_emissivity,
         solar_irradiance=solar_irradiance,
         iseed=iseed,
+        spectral_solar_cycle_multiplier=spectral_solar_cycle_multiplier,
     )
     # surface-first files are flipped to internal TOA-first order
     # (radiation_interface.F90 radiation_reverse)

@@ -230,9 +230,74 @@ def calc_planck(tables: Dict, meta: Dict, temperature):
     return jnp.where((tindex0 >= 0.0)[..., None], interp, low)
 
 
+def read_spectral_solar_cycle(tables: Dict, specdef: SpectralDefinition,
+                              ssi_path: str,
+                              use_updated_solar_spectrum: bool = False):
+    """Read the solar-cycle spectral-variation amplitude and map it to
+    g-points (radiation_ecckd.F90:295-455 read_spectral_solar_cycle).
+
+    Mutates ``tables`` in place: adds ``norm_amplitude_solar_irradiance``
+    (ng,) and, with use_updated_solar_spectrum, rescales
+    ``norm_solar_irradiance`` to the file's mean spectrum (requires an
+    ecCKD >= 1.4 model carrying solar_spectral_irradiance)."""
+    from ecrad_tpu.io.netcdf import NcFile
+
+    with NcFile(ssi_path) as f:
+        wav = np.asarray(f.get("wavenumber"), np.float64)
+        ssi = np.asarray(f.get("mean_solar_spectral_irradiance"),
+                         np.float64)
+        amp = np.asarray(f.get("ssi_solar_cycle_amplitude"), np.float64)
+
+    wg = 0.5 * (specdef.wavenumber1 + specdef.wavenumber2)
+    dwav = float(specdef.wavenumber2[0] - specdef.wavenumber1[0])
+    # linear interpolation to the model's fine wavenumber grid, zero
+    # outside the file's range (reference loop semantics:
+    # wav[j] < wg <= wav[j+1])
+    j = np.searchsorted(wav, wg, side="left") - 1
+    valid = (j >= 0) & (j < wav.size - 1)
+    jc = np.clip(j, 0, wav.size - 2)
+    denom = wav[jc + 1] - wav[jc]
+
+    def interp(y):
+        v = (y[jc] * (wav[jc + 1] - wg) + y[jc + 1] * (wg - wav[jc])) \
+            * dwav / denom
+        return np.where(valid, v, 0.0)
+
+    ssi_grid = interp(ssi)
+    amp_grid = interp(amp)
+
+    norm = np.asarray(tables["norm_solar_irradiance"], np.float64)
+    gf = specdef.gpoint_fraction                    # (nwav, ng)
+    if use_updated_solar_spectrum:
+        if specdef.solar_spectral_irradiance is None:
+            raise ValueError(
+                "use_updated_solar_spectrum requires an ecCKD >= 1.4 "
+                "model (radiation_ecckd.F90:399-404)")
+        old = np.asarray(specdef.solar_spectral_irradiance, np.float64)
+        norm = norm * (ssi_grid @ gf) / (old @ gf)
+        norm = norm / norm.sum()
+        specdef.solar_spectral_irradiance = ssi_grid
+        tables["norm_solar_irradiance"] = norm
+
+    namp = norm * (amp_grid @ gf) / (ssi_grid @ gf)
+    # remove the mean: the user scales total solar irradiance separately
+    namp = (norm + namp) / np.sum(norm + namp) - norm
+    tables["norm_amplitude_solar_irradiance"] = namp
+    return tables
+
+
 def calc_incoming_sw(tables: Dict, meta: Dict, total_solar_irradiance,
-                     ncol: int):
-    """radiation_ecckd.F90:935-966."""
+                     ncol: int, solar_cycle_multiplier: float = 0.0):
+    """radiation_ecckd.F90:935-966: spectral solar irradiance per g
+    point, optionally shifted along the solar cycle (multiplier is in
+    standard deviations of the cycle; +1 ~ solar maximum)."""
     nsi = jnp.asarray(tables["norm_solar_irradiance"])
+    if solar_cycle_multiplier != 0.0:
+        if "norm_amplitude_solar_irradiance" not in tables:
+            raise ValueError(
+                "no information present on solar cycle "
+                "(set use_spectral_solar_cycle; radiation_ecckd.F90:957)")
+        nsi = nsi + solar_cycle_multiplier * jnp.asarray(
+            tables["norm_amplitude_solar_irradiance"])
     return jnp.broadcast_to(total_solar_irradiance * nsi,
                             (ncol, nsi.shape[0]))

@@ -66,12 +66,13 @@ def _planck_store(totplnk, delwave, temperature):
     """Planck flux per LW band at given temperatures.
 
     temperature (...,) → (..., nbands)."""
+    from ecrad_tpu.optics.rrtmg_interp import weighted_take
     totplnk = jnp.asarray(totplnk)                # (181, 16)
     delwave = jnp.asarray(delwave)
     ind, frac = _planck_interp_index(temperature)
-    p0 = jnp.take(totplnk, ind, axis=0)           # (..., 16)
-    p1 = jnp.take(totplnk, jnp.clip(ind + 1, 0, 180), axis=0)
-    return FLUXFAC * delwave * (p0 + frac[..., None] * (p1 - p0))
+    p = weighted_take(totplnk, [(ind, 1.0 - frac),
+                                (jnp.clip(ind + 1, 0, 180), frac)])
+    return FLUXFAC * delwave * p
 
 
 @profiling.traced("radiation_ifs_rrtm:gas_optics")

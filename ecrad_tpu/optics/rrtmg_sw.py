@@ -81,24 +81,23 @@ class _SwBand:
         speccomb, _, js, fs = ri.spec_setup(n_eta, col1, col2, rat)
         njp, _, njs = table.shape[0], table.shape[1], table.shape[2]
         flat = jnp.asarray(table).reshape((-1,) + table.shape[3:])
+        nfl = flat.shape[0]
         jp0 = jnp.clip(c.jp - jp_offset, 0, njp - 1)
         jp1 = jnp.clip(c.jp + 1 - jp_offset, 0, njp - 1)
 
-        def at(jp_s, jt_s, djs):
-            idx = jnp.clip((jp_s * 5 + jt_s) * njs + js + djs, 0,
-                           flat.shape[0] - 1)
-            return _take(flat, idx)
-
-        fsn = fs[..., None]
-        tau = ((1.0 - fsn) * (at(jp0, c.jt, 0) * c.fac00[..., None]
-                              + at(jp0, c.jt + 1, 0) * c.fac10[..., None]
-                              + at(jp1, c.jt1, 0) * c.fac01[..., None]
-                              + at(jp1, c.jt1 + 1, 0) * c.fac11[..., None])
-               + fsn * (at(jp0, c.jt, 1) * c.fac00[..., None]
-                        + at(jp0, c.jt + 1, 1) * c.fac10[..., None]
-                        + at(jp1, c.jt1, 1) * c.fac01[..., None]
-                        + at(jp1, c.jt1 + 1, 1) * c.fac11[..., None]))
-        return speccomb[..., None] * tau, js, fs
+        # 8 weighted rows assembled into one weighted_take (single
+        # one-hot MXU matmul on TPU)
+        pairs = []
+        for djs, fsw in ((0, speccomb * (1.0 - fs)), (1, speccomb * fs)):
+            for jp_s, jt_s, fac in ((jp0, c.jt, c.fac00),
+                                    (jp0, c.jt + 1, c.fac10),
+                                    (jp1, c.jt1, c.fac01),
+                                    (jp1, c.jt1 + 1, c.fac11)):
+                idx = jnp.clip((jp_s * 5 + jt_s) * njs + js + djs, 0,
+                               nfl - 1)
+                pairs.append((idx, fsw * fac))
+        tau = ri.weighted_take(flat, pairs)
+        return tau, js, fs
 
     def major_lower_2(self, col1, col2, strrat):
         return self._major_2_shared_js(self.t["ka"], col1, col2, strrat,
@@ -285,11 +284,10 @@ def _band24(tb):
               + c.colo3[..., None] * jnp.asarray(tb.t["abso3b"]))
     tau = _where_g(c.tropo, tau_lo, tau_hi)
     # Rayleigh: eta-dependent in lower (RAYLA (ng,9)), constant-g upper
-    rayla = jnp.asarray(tb.t["rayla"])           # (ng, 9)
-    f0 = jnp.moveaxis(jnp.take(rayla, js, axis=1), 0, -1)
-    f1 = jnp.moveaxis(jnp.take(rayla, jnp.clip(js + 1, 0, 8), axis=1),
-                      0, -1)
-    taur_lo = c.colmol[..., None] * (f0 + fs[..., None] * (f1 - f0))
+    rayla = jnp.asarray(tb.t["rayla"]).T         # (9, ng)
+    ray = ri.weighted_take(rayla, [
+        (js, 1.0 - fs), (jnp.clip(js + 1, 0, 8), fs)])
+    taur_lo = c.colmol[..., None] * ray
     taur_hi = c.colmol[..., None] * jnp.asarray(tb.t["raylb"])
     taur = _where_g(c.tropo, taur_lo, taur_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())

@@ -52,6 +52,250 @@ def cum_cloud_cover_exp_ran_jnp(frac, overlap_param, max_ran=False):
     return cum, pair
 
 
+MIN_FRAC = 1.0e-6          # radiation_cloud_cover.F90:380
+
+
+def cum_cloud_cover_exp_exp_jnp(frac, overlap_param):
+    """Batched object-based Exp-Exp overlap cumulative cloud cover
+    (radiation_cloud_cover.F90:339-623 cum_cloud_cover_exp_exp).
+
+    The reference decomposes each profile into "concave cloud objects"
+    (contiguous cloudy runs of monotonically increasing-then-decreasing
+    fraction), accumulates cover within each object with the exp-ran
+    recurrence, then greedily merges the most-correlated adjacent object
+    pairs.  Here the per-column while-loops become: a lax.scan phase
+    machine for object detection, a sort to compact object slots, and a
+    fixed-trip masked merge loop (one-hot selects instead of the
+    linked-list traversal; the traversal's visit set reduces to
+    "active slots with index < nobj-1" since merges keep the lower
+    slot).
+
+    frac (ncol, nlev); overlap_param (ncol, nlev-1) alpha.
+    Returns (cum_cloud_cover (ncol, nlev), pair_cloud_cover
+    (ncol, nlev-1)).
+    """
+    ncol, nlev = frac.shape
+    dtype = frac.dtype
+    nmax = (nlev + 1) // 2
+    levs = jnp.arange(nlev)
+
+    cloudy = frac > MIN_FRAC
+    f_prev = jnp.concatenate([jnp.zeros_like(frac[:, :1]), frac[:, :-1]],
+                             axis=1)
+
+    # --- phase machine: 0 clear, 1 nondecreasing, 2 decreasing
+    def det_step(phase, x):
+        f, fp, cl = x
+        new_top = cl & ((phase == 0) | ((phase == 2) & (f > fp)))
+        phase_new = jnp.where(~cl, 0,
+                              jnp.where(new_top, 1,
+                                        jnp.where((phase == 1) & (f < fp),
+                                                  2, phase)))
+        return phase_new, (new_top, phase_new)
+
+    lev = lambda a: jnp.moveaxis(a, 1, 0)
+    _, (new_top, phase) = jax.lax.scan(
+        det_step, jnp.zeros((ncol,), jnp.int32),
+        (lev(frac), lev(f_prev), lev(cloudy)))
+    new_top = jnp.moveaxis(new_top, 0, 1)            # (ncol, nlev)
+    phase = jnp.moveaxis(phase, 0, 1)
+
+    nt_next = jnp.concatenate([new_top[:, 1:],
+                               jnp.zeros_like(new_top[:, :1])], axis=1)
+    ph_next = jnp.concatenate([phase[:, 1:],
+                               jnp.zeros_like(phase[:, :1])], axis=1)
+    is_last = levs == nlev - 1
+    is_max = (phase == 1) & (is_last | (ph_next != 1) | nt_next)
+    cl_next = jnp.concatenate([cloudy[:, 1:],
+                               jnp.zeros_like(cloudy[:, :1])], axis=1)
+    is_base = cloudy & (is_last | nt_next | ~cl_next)
+
+    nobj = jnp.sum(new_top, axis=1).astype(jnp.int32)        # (ncol,)
+
+    def compact(mask):
+        """Levels where mask is true, in order, padded with nlev-1."""
+        vals = jnp.where(mask, levs[None, :], nlev)
+        vals = jnp.sort(vals, axis=1)[:, :nmax]
+        return jnp.minimum(vals, nlev - 1).astype(jnp.int32)
+
+    top_lev = compact(new_top)
+    max_lev = compact(is_max)
+    base_lev = compact(is_base)
+
+    # --- pair cloud cover (alpha form) + within-object cumulative cover
+    alpha = overlap_param
+    pair = (alpha * jnp.maximum(frac[:, :-1], frac[:, 1:])
+            + (1.0 - alpha) * (frac[:, :-1] + frac[:, 1:]
+                               - frac[:, :-1] * frac[:, 1:]))
+    pair_m1 = jnp.concatenate([jnp.zeros_like(pair[:, :1]), pair], axis=1)
+
+    def cum_step(cum_prev, x):
+        f, fp, p_m1, cl, topm = x
+        grow = jnp.where(fp >= MAX_CLOUD_FRAC, 1.0,
+                         1.0 - (1.0 - cum_prev) * (1.0 - p_m1)
+                         / jnp.maximum(1.0 - fp, 1e-12))
+        cum = jnp.where(topm, f, jnp.where(cl, grow, 0.0))
+        return cum, cum
+
+    _, cum_l = jax.lax.scan(
+        cum_step, jnp.zeros((ncol,), dtype),
+        (lev(frac), lev(f_prev), lev(pair_m1), lev(cloudy), lev(new_top)))
+    cum = jnp.moveaxis(cum_l, 0, 1)                  # (ncol, nlev)
+
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx, axis=1)
+    cc_obj = take(cum, base_lev)                     # (ncol, nmax)
+
+    # --- inter-object correlation: product of alpha over
+    # [max_lev[k], max_lev[k+1]) (radiation_cloud_cover.F90:366-371)
+    log_a = jnp.log(jnp.maximum(alpha, 1e-30))
+    zero_a = (alpha <= 0.0).astype(jnp.int32)
+    cs_log = jnp.concatenate([jnp.zeros((ncol, 1), dtype),
+                              jnp.cumsum(log_a, axis=1)], axis=1)
+    cs_zero = jnp.concatenate([jnp.zeros((ncol, 1), jnp.int32),
+                               jnp.cumsum(zero_a, axis=1)], axis=1)
+    max_next = jnp.concatenate([max_lev[:, 1:], max_lev[:, -1:]], axis=1)
+    prod = jnp.exp(take(cs_log, max_next) - take(cs_log, max_lev))
+    nzero = take(cs_zero, max_next) - take(cs_zero, max_lev)
+    alpha_obj = jnp.where(nzero > 0, 0.0, prod).astype(dtype)
+
+    # --- fixed-trip greedy merge
+    slots = jnp.arange(nmax)
+
+    def merge_step(state, _):
+        cum, cc, base, alpha_o, active, n = state
+        do = (n > 1)
+        visited = active & (slots[None, :] < (n - 1)[:, None])
+        masked = jnp.where(visited, alpha_o, -jnp.inf)
+        i1 = jnp.where(jnp.max(masked, axis=1) > 0.0,
+                       jnp.argmax(masked, axis=1), 0)
+        after = active & (slots[None, :] > i1[:, None])
+        i2 = jnp.argmax(after, axis=1)
+        oh1 = slots[None, :] == i1[:, None]
+        oh2 = slots[None, :] == i2[:, None]
+        pick = lambda arr, oh: jnp.sum(jnp.where(oh, arr, 0),
+                                       axis=1).astype(arr.dtype)
+        base1 = pick(base, oh1)
+        top2 = pick(top_lev, oh2)
+        base2 = pick(base, oh2)
+        cc1 = pick(cc, oh1)
+        cc2 = pick(cc, oh2)
+        a1 = pick(alpha_o, oh1)
+        a2 = pick(alpha_o, oh2)
+        cum_base1 = jnp.take_along_axis(cum, base1[:, None], axis=1)[:, 0]
+
+        cc_pair = (a1 * jnp.maximum(cc1, cc2)
+                   + (1.0 - a1) * (cc1 + cc2 - cc1 * cc2))
+        scaling = jnp.clip((cc_pair - cc1)
+                           / jnp.maximum(MIN_FRAC, cc2), 0.0, 1.0)
+
+        gap = ((levs[None, :] > base1[:, None])
+               & (levs[None, :] < top2[:, None]))
+        lower = ((levs[None, :] >= top2[:, None])
+                 & (levs[None, :] <= base2[:, None]))
+        cum_new = jnp.where(gap, cum_base1[:, None], cum)
+        cum_new = jnp.where(lower, cum_base1[:, None]
+                            + cum * scaling[:, None], cum_new)
+        cum = jnp.where(do[:, None], cum_new, cum)
+
+        upd = lambda arr, val: jnp.where(do[:, None] & oh1,
+                                         val[:, None].astype(arr.dtype),
+                                         arr)
+        cc = upd(cc, cc_pair)
+        base = upd(base, base2)
+        alpha_o = upd(alpha_o, a2)
+        active = jnp.where(do[:, None] & oh2, False, active)
+        n = jnp.where(do, n - 1, n)
+        return (cum, cc, base, alpha_o, active, n), None
+
+    active0 = slots[None, :] < nobj[:, None]
+    state = (cum, cc_obj, base_lev, alpha_obj, active0, nobj)
+    (cum, cc_obj, base_lev, _, active, _), _ = jax.lax.scan(
+        merge_step, state, None, length=nmax - 1)
+
+    # --- fill below the lowest cloud, enforce pair >= overhang, cap
+    has_cloud = nobj > 0
+    i_fin = jnp.argmax(active, axis=1)
+    base_fin = jnp.take_along_axis(base_lev, i_fin[:, None], axis=1)[:, 0]
+    cum_fin = jnp.take_along_axis(cum, base_fin[:, None], axis=1)[:, 0]
+    below = levs[None, :] > base_fin[:, None]
+    cum = jnp.where(has_cloud[:, None] & below, cum_fin[:, None], cum)
+    pair = jnp.where(has_cloud[:, None],
+                     jnp.maximum(pair, frac[:, :-1] + cum[:, 1:]
+                                 - cum[:, :-1]), 0.0)
+    cum = jnp.where(has_cloud[:, None], jnp.minimum(cum, 1.0), 0.0)
+    return cum, pair
+
+
+def fit_pdf_cheb(pdf_tables, degree: int = 14):
+    """Fit log(od_scaling) per fsd column as a Chebyshev series in the
+    normal quantile z = ndtri(cdf) (host-side, at setup).
+
+    The reference samples a (ncdf=1000, nfsd=81) inverse-CDF LUT
+    bilinearly (radiation_pdf_sampler.F90:59-105).  An element-wise
+    gather of ~1e8 random indices has no hardware path on the TPU VPU
+    (measured ~1.4 s per call — 80% of the whole step), while this fit
+    reduces sampling to erfinv + a Clenshaw recurrence (pure VPU math;
+    max relative error vs the LUT: 1.4e-3 gamma / 2.9e-5 lognormal,
+    far inside McICA sampling noise).  Coefficients are linearly
+    interpolated in fsd, which commutes with the LUT's own fsd
+    interpolation since the series is linear in its coefficients.
+    """
+    import numpy as np
+    from scipy.special import ndtri
+
+    val = np.asarray(pdf_tables["val"], np.float64)      # (ncdf, nfsd)
+    ncdf, nfsd = val.shape
+    cdf_grid = np.arange(ncdf) / (ncdf - 1)
+    rows = np.arange(1, ncdf - 1)         # drop cdf=0 (sentinel), cdf=1
+    z = ndtri(cdf_grid[rows])
+    z_lo, z_hi = float(z[0]), float(z[-1])
+    t = (2.0 * z - (z_lo + z_hi)) / (z_hi - z_lo)
+    coeffs = np.zeros((nfsd, degree + 1))
+    for j in range(nfsd):
+        y = np.log(np.maximum(val[rows, j], 1e-300))
+        coeffs[j] = np.polynomial.chebyshev.chebfit(t, y, degree)
+    fsd_axis = np.asarray(pdf_tables["fsd"], np.float64)
+    return {
+        "cheb": coeffs, "z_lo": z_lo, "z_hi": z_hi,
+        "fsd1": float(fsd_axis[0]),
+        "inv_int": 1.0 / float(fsd_axis[1] - fsd_axis[0]),
+        "nfsd": nfsd,
+    }
+
+
+def sample_pdf_cheb(fit, fsd, cdf):
+    """TPU-fast PDF sampling: od_scaling = exp(cheb(z)) with coefficients
+    interpolated in fsd.  fsd (..., 1) broadcasting against cdf (..., ng);
+    fsd must vary only over the leading (col, lev) axes."""
+    from jax.scipy.special import ndtri
+
+    cheb = jnp.asarray(fit["cheb"], cdf.dtype)          # (nfsd, deg+1)
+    nfsd = fit["nfsd"]
+    # fsd row interpolation (cheap: one row gather per (col, lev))
+    wfsd = (fsd[..., 0] - fit["fsd1"]) * fit["inv_int"] + 1.0
+    ifsd = jnp.clip(wfsd.astype(jnp.int32), 1, nfsd - 1)
+    wfsd = jnp.clip(wfsd - ifsd, 0.0, 1.0)[..., None]
+    c0 = jnp.take(cheb, jnp.clip(ifsd - 1, 0, nfsd - 1), axis=0)
+    c1 = jnp.take(cheb, jnp.clip(ifsd, 0, nfsd - 1), axis=0)
+    c = (1.0 - wfsd) * c0 + wfsd * c1                   # (..., deg+1)
+
+    eps = 1e-7
+    z = ndtri(jnp.clip(cdf, eps, 1.0 - eps))
+    t = jnp.clip((2.0 * z - (fit["z_lo"] + fit["z_hi"]))
+                 / (fit["z_hi"] - fit["z_lo"]), -1.0, 1.0)
+    # Clenshaw over the trailing coefficient axis, broadcasting c
+    # (..., 1, deg+1) against t (..., ng)
+    deg = c.shape[-1] - 1
+    cb = c[..., None, :]
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    two_t = 2.0 * t
+    for k in range(deg, 0, -1):
+        b1, b2 = two_t * b1 - b2 + cb[..., k], b1
+    y = t * b1 - b2 + cb[..., 0]
+    return jnp.exp(y)
+
+
 def sample_pdf_jnp(pdf_tables, fsd, cdf):
     """Bilinear PDF LUT lookup (radiation_pdf_sampler.F90:59-105)."""
     val = jnp.asarray(pdf_tables["val"])             # (ncdf, nfsd)
@@ -91,9 +335,14 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
     Returns (od_scaling (ncol, nlev, ng), total_cloud_cover (ncol,)).
     """
     ncol, nlev = frac.shape
-    max_ran = config.overlap_scheme == Overlap.MAXIMUM_RANDOM
-    cum, pair = cum_cloud_cover_exp_ran_jnp(frac, overlap_param,
-                                            max_ran=max_ran)
+    exp_exp = config.overlap_scheme == Overlap.EXPONENTIAL
+    if exp_exp:
+        # Exp-Exp: object-based cover (radiation_cloud_cover.F90:339)
+        cum, pair = cum_cloud_cover_exp_exp_jnp(frac, overlap_param)
+    else:
+        max_ran = config.overlap_scheme == Overlap.MAXIMUM_RANDOM
+        cum, pair = cum_cloud_cover_exp_ran_jnp(frac, overlap_param,
+                                                max_ran=max_ran)
     total_cloud_cover = cum[:, -1]
     overhang = cum[:, 1:] - cum[:, :-1]
 
@@ -148,6 +397,14 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
                                   & jnp.where(prev_cloud, cond_prev,
                                               cond_new))
         is_cloud = is_cloud & any_c[:, None]
+        if exp_exp:
+            # Exp-Exp chains the inhomogeneity sample across clear gaps
+            # (radiation_cloud_generator.F90:497-509: rand_inhom1
+            # repetition runs over the whole itrigger:iend range,
+            # regardless of cloudiness)
+            chain = jnp.where(ri2 < opi_m1[:, None], ri_prev, ri)
+            emit = jnp.where(is_cloud & any_c[:, None], chain, 0.0)
+            return (found_cloud, is_cloud, chain), emit
         ri_new = jnp.where((ri2 < opi_m1[:, None]) & prev_cloud,
                            ri_prev, ri)
         ri_new = jnp.where(is_cloud, ri_new, 0.0)
@@ -162,9 +419,13 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
     _, ri_levels = jax.lax.scan(scan_step, init, xs)
     cdf = jnp.moveaxis(ri_levels, 0, 1)                 # (ncol, nlev, ng)
 
-    od_scaling = jnp.where(
-        cdf > 0.0,
-        sample_pdf_jnp(pdf_tables, fractional_std[..., None], cdf), 0.0)
+    if pdf_tables.get("cheb_fit") is not None:
+        sampled = sample_pdf_cheb(pdf_tables["cheb_fit"],
+                                  fractional_std[..., None], cdf)
+    else:
+        sampled = sample_pdf_jnp(pdf_tables, fractional_std[..., None],
+                                 cdf)
+    od_scaling = jnp.where(cdf > 0.0, sampled, 0.0)
     od_scaling = jnp.where(is_any_cloud[..., None], od_scaling, 0.0)
 
     tcc = jnp.where(total_cloud_cover

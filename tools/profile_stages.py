@@ -187,12 +187,12 @@ def main():
 
         lw_emission = op["go"].lw_emission * (1.0 - op["lw_albedo_g"])
 
-        def lw_stage(od_lw, od_sc, planck_hl, emis):
+        def lw_stage(od_lw, od_sc, planck_hl, emis, ssa_lw, g_lw, clod,
+                     clssa, clg, tcc, frac2, alb):
             return mcica.solver_mcica_lw(
-                od_lw, op["ssa_lw"], op["g_lw_arr"],
-                op["cl"]["od_lw"], op["cl"]["ssa_lw"], op["cl"]["g_lw"],
-                tables.band_from_g_lw, od_sc, tcc_lw, op["frac"],
-                planck_hl, emis, op["lw_albedo_g"],
+                od_lw, ssa_lw, g_lw, clod, clssa, clg,
+                tables.band_from_g_lw, od_sc, tcc, frac2,
+                planck_hl, emis, alb,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
@@ -201,21 +201,28 @@ def main():
         lv = []
         for i in range(niter + 1):
             lv.append((op["od_lw"] * (1.0 + 1e-5 * i), od_sc_lw,
-                       op["go"].planck_hl, lw_emission))
+                       op["go"].planck_hl, lw_emission, op["ssa_lw"],
+                       op["g_lw_arr"], op["cl"]["od_lw"],
+                       op["cl"]["ssa_lw"], op["cl"]["g_lw"], tcc_lw,
+                       op["frac"], op["lw_albedo_g"]))
         timed(lw_stage, lv, "solver_mcica_lw", res)
 
-        def sw_stage(od_sw, od_sc):
+        def sw_stage(od_sw, od_sc, ssa_sw, g_sw, clod, clssa, clg, tcc,
+                     frac2, inc, mu, albd, albdir):
             return mcica.solver_mcica_sw(
-                od_sw, op["ssa_sw"], op["g_sw_arr"],
-                op["cl"]["od_sw"], op["cl"]["ssa_sw"], op["cl"]["g_sw"],
-                tables.band_from_g_sw, od_sc, tcc_sw, op["frac"],
-                op["go"].incoming_sw, cos_sza,
-                op["sw_albedo_diffuse_g"], op["sw_albedo_direct_g"],
+                od_sw, ssa_sw, g_sw, clod, clssa, clg,
+                tables.band_from_g_sw, od_sc, tcc, frac2, inc, mu,
+                albd, albdir,
                 cloud_fraction_threshold=config.cloud_fraction_threshold)
 
         sv = []
         for i in range(niter + 1):
-            sv.append((op["od_sw"] * (1.0 + 1e-5 * i), od_sc_sw))
+            sv.append((op["od_sw"] * (1.0 + 1e-5 * i), od_sc_sw,
+                       op["ssa_sw"], op["g_sw_arr"], op["cl"]["od_sw"],
+                       op["cl"]["ssa_sw"], op["cl"]["g_sw"], tcc_sw,
+                       op["frac"], op["go"].incoming_sw, cos_sza,
+                       op["sw_albedo_diffuse_g"],
+                       op["sw_albedo_direct_g"]))
         timed(sw_stage, sv, "solver_mcica_sw", res)
 
     # difference the two sizes
