@@ -1,8 +1,14 @@
 """JAX runtime configuration helpers.
 
-Enables the persistent compilation cache so repeat driver/bench/test runs
-skip the 20-120s XLA compiles (the reference's setup is milliseconds —
-radiation_interface.F90:37 — so cold-compile cost must be one-time)."""
+Enables (a) the persistent compilation cache so repeat driver/bench/test
+runs skip the 20-120s XLA compiles (the reference's setup is
+milliseconds — radiation_interface.F90:37 — so cold-compile cost must be
+one-time), and (b) HIGHEST default matmul precision: the TPU default
+lowers f32 dots to bf16 passes, which pushes the surface-albedo mapping
+and band reductions past the reference's single-precision flux
+thresholds (LW/SW 0.5 W m-2, test/ifs/CMakeLists.txt:15-18).  All dots
+in this framework are tiny or interpolation matmuls where full f32
+accuracy is required, so HIGHEST costs nothing measurable."""
 
 from __future__ import annotations
 
@@ -27,4 +33,5 @@ def enable_persistent_cache(cache_dir: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without these flags
+    jax.config.update("jax_default_matmul_precision", "highest")
     _DONE = True

@@ -136,6 +136,21 @@ def sw_ref_trans(mu0, od, ssa, g):
     Returns (ref_diff, trans_diff, ref_dir, trans_dir_diff, trans_dir_dir).
     Direct quantities are normalized to the flux in the beam cross-section
     (so the caller multiplies direct fluxes by mu0 as in the reference).
+
+    Numerical formulation differs deliberately from the reference to meet
+    the single-precision flux bar without the reference's sp k-guard bias
+    (radiation_two_stream.F90:616-622 raises the k^2 floor to 1e-6 in sp,
+    which biases conservative-scattering transmittance by ~2e-5 per layer
+    and accumulates to ~0.7 W m-2 over 137 levels):
+      * k^2 uses the PIFM identity gamma1 - gamma2 = 2(1 - ssa) (exact in
+        floating point by Sterbenz' lemma for ssa >= 0.5), so k^2 >= 0 by
+        construction and no sp-specific floor is needed;
+      * every Meador-Weaver bracket is regrouped so that in the
+        conservative limit k -> 0 it is a sum of O(k) terms each computed
+        to *relative* accuracy (1 - e^{-2k od} via expm1), instead of a
+        catastrophically-cancelling difference of O(1) terms; the
+        reftrans denominator becomes k(1+e^2) + gamma1*(1-e^2), all
+        positive.
     """
     dtype = jnp.result_type(od)
     eps = jnp.finfo(dtype).eps
@@ -150,20 +165,23 @@ def sw_ref_trans(mu0, od, ssa, g):
     gamma4 = 1.0 - gamma3
     alpha1 = gamma1 * gamma4 + gamma2 * gamma3     # MW Eq. 16
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4     # MW Eq. 17
-    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
-                             _k_min(dtype)))
+    # k^2 = (g1-g2)(g1+g2) with g1-g2 = 2(1-ssa), g1+g2 = 2-ssa(0.5+1.5g)
+    ksq = (2.0 * (1.0 - ssa)) * (2.0 - ssa * (0.5 + 1.5 * g))
+    k = jnp.sqrt(jnp.maximum(ksq, 1.0e-12))
 
     exponential = jnp.exp(-k * od)
     exponential2 = exponential * exponential
+    # 1 - exp(-2 k od), computed to relative accuracy
+    one_minus_exp2 = -jnp.expm1(-2.0 * k * od)
     k_mu0 = k * mu0
-    one_minus_kmu0_sqr = 1.0 - k_mu0 * k_mu0
-    k_gamma3 = k * gamma3
-    k_gamma4 = k * gamma4
+    one_minus_kmu0_sqr = (1.0 - k_mu0) * (1.0 + k_mu0)
     k_2_exponential = 2.0 * k * exponential
-    reftrans_factor = 1.0 / (k + gamma1 + (k - gamma1) * exponential2)
+    # k + gamma1 + (k - gamma1) e^2  ==  k (1 + e^2) + gamma1 (1 - e^2)
+    reftrans_factor = 1.0 / (k * (1.0 + exponential2)
+                             + gamma1 * one_minus_exp2)
 
     # MW Eq. 25 / 26
-    ref_diff = gamma2 * (1.0 - exponential2) * reftrans_factor
+    ref_diff = gamma2 * one_minus_exp2 * reftrans_factor
     trans_diff = jnp.clip(k_2_exponential * reftrans_factor, 0.0,
                           1.0 - ref_diff)
 
@@ -172,17 +190,24 @@ def sw_ref_trans(mu0, od, ssa, g):
                       one_minus_kmu0_sqr, eps)
     reftrans_dir = mu0 * ssa * reftrans_factor / denom
 
-    # MW Eq. 14 (scaled by exp(-k od))
+    # MW Eq. 14 bracket (scaled by exp(-k od)), regrouped:
+    #   (1-kmu0)(a2+kg3) - (1+kmu0)(a2-kg3) e^2 - 2ke (g3 - a2 mu0) tdd
+    # = a2 [(1-e^2) - kmu0 (1+e^2)] + kg3 [(1-kmu0) + (1+kmu0) e^2]
+    #   - 2ke (g3 - a2 mu0) tdd        (every term O(k) as k -> 0)
     ref_dir = reftrans_dir * (
-        (1.0 - k_mu0) * (alpha2 + k_gamma3)
-        - (1.0 + k_mu0) * (alpha2 - k_gamma3) * exponential2
+        alpha2 * (one_minus_exp2 - k_mu0 * (1.0 + exponential2))
+        + k * gamma3 * ((1.0 - k_mu0) + (1.0 + k_mu0) * exponential2)
         - k_2_exponential * (gamma3 - alpha2 * mu0) * trans_dir_dir)
-    # MW Eq. 15 minus unscattered term
+    # MW Eq. 15 bracket minus unscattered term, regrouped likewise:
+    #   2ke (g4 + a1 mu0) - tdd [(1+kmu0)(a1+kg4) - (1-kmu0)(a1-kg4) e^2]
+    # = 2ke (g4 + a1 mu0) - tdd (a1 [(1-e^2) + kmu0 (1+e^2)]
+    #                            + kg4 [(1+kmu0) + (1-kmu0) e^2])
     trans_dir_diff = reftrans_dir * (
         k_2_exponential * (gamma4 + alpha1 * mu0)
-        - trans_dir_dir * ((1.0 + k_mu0) * (alpha1 + k_gamma4)
-                           - (1.0 - k_mu0) * (alpha1 - k_gamma4)
-                           * exponential2))
+        - trans_dir_dir * (
+            alpha1 * (one_minus_exp2 + k_mu0 * (1.0 + exponential2))
+            + k * gamma4 * ((1.0 + k_mu0) + (1.0 - k_mu0)
+                            * exponential2)))
 
     max_dir = mu0 * (1.0 - trans_dir_dir)
     ref_dir = jnp.clip(ref_dir, 0.0, max_dir)

@@ -1,0 +1,74 @@
+"""Opt-in smoke test on the real TPU device.
+
+Runs the flagship configuration (RRTMG McICA SW+LW, default CY49R1
+namelist) in float32 on the actual accelerator and compares fluxes
+against the committed double-precision reference output at the
+reference's single-precision thresholds (LW/SW 0.5 W m-2,
+test/ifs/CMakeLists.txt:15-18).
+
+The rest of the suite is pinned to CPU (tests/conftest.py) because JAX's
+platform choice is process-global and TPU tunnel attach costs minutes;
+this test therefore spawns a fresh subprocess with the TPU platform and
+is opt-in via RUN_TPU_TESTS=1:
+
+    RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, %(repo)r)
+import jax
+from ecrad_tpu.jax_setup import enable_persistent_cache
+enable_persistent_cache()
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected accelerator, got {dev}"
+print("device:", dev)
+
+from tests import golden
+from ecrad_tpu.config import Config
+
+import jax.numpy as jnp
+from ecrad_tpu.io.input import DriverConfig, read_input
+
+config = Config.from_namelist(golden.CONFIG_NAM)
+dc = DriverConfig.from_namelist(golden.CONFIG_NAM)
+inp = read_input(golden.INPUT_FILE, dc)
+extra = {"aerosol": {"mixing_ratio": jnp.asarray(inp.aerosol_mmr,
+                                                 jnp.float32)}}
+flux, _ = golden.run_config(config, extra_inputs=extra)
+jax.block_until_ready(flux)
+errors = golden.compare(
+    flux,
+    os.path.join(golden.TEST_IFS,
+                 "ecrad_meridian_default_out_REFERENCE.nc"),
+    lw_threshold=0.5, sw_threshold=0.5)
+print("TPU f32 errors:", {k: round(v, 5) for k, v in errors.items()})
+print("TPU_SMOKE_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="set RUN_TPU_TESTS=1 to run on the real TPU "
+                           "(tunnel attach costs minutes)")
+def test_tpu_flagship_f32_vs_reference():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # undo the CPU pinning the suite's conftest applies to this process
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT % {"repo": repo}],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0 and "TPU_SMOKE_OK" in r.stdout, (
+        f"TPU smoke failed rc={r.returncode}")
