@@ -91,6 +91,22 @@ def build_cloud_inputs(config, inp, generator="exact"):
     return cloud
 
 
+def resolve_data_dir(config, config_path):
+    """The reference resolves a relative directory_name against the CWD,
+    and its namelists carry paths like "../../data" meant for runs from
+    test/ifs/.  Accept both: if the path does not resolve from here,
+    retry relative to the namelist's own directory."""
+    import os
+    ddir = config.directory_name
+    if ddir and not os.path.isabs(ddir) and not os.path.isdir(ddir):
+        cand = os.path.normpath(
+            os.path.join(os.path.dirname(os.path.abspath(config_path)),
+                         ddir))
+        if os.path.isdir(cand):
+            config = config.replace(directory_name=cand)
+    return config
+
+
 def run(config_path: str, input_path: str, output_path: str,
         dtype: str = "float64", jit: bool = True, nrepeat: int = None,
         generator: str = "exact"):
@@ -109,18 +125,7 @@ def run(config_path: str, input_path: str, output_path: str,
     config = Config.from_namelist(config_path)
     driver_config = DriverConfig.from_namelist(config_path)
 
-    # The reference resolves a relative directory_name against the CWD,
-    # and its namelists carry paths like "../../data" meant for runs from
-    # test/ifs/.  Accept both: if the path does not resolve from here,
-    # retry relative to the namelist's own directory.
-    import os
-    ddir = config.directory_name
-    if ddir and not os.path.isabs(ddir) and not os.path.isdir(ddir):
-        cand = os.path.normpath(
-            os.path.join(os.path.dirname(os.path.abspath(config_path)),
-                         ddir))
-        if os.path.isdir(cand):
-            config = config.replace(directory_name=cand)
+    config = resolve_data_dir(config, config_path)
     if nrepeat is None:
         nrepeat = driver_config.nrepeat
 

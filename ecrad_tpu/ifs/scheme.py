@@ -40,32 +40,42 @@ class RadiationScheme(NamedTuple):
     weight_uv: np.ndarray
     iband_par: np.ndarray
     weight_par: np.ndarray
+    # UV biologically effective flux weights (per g-point; ecCKD only,
+    # radiation_config.F90:1724-1764) — None for band-only gas optics
+    ig_uv_bio: Optional[np.ndarray] = None
+    weight_uv_bio: Optional[np.ndarray] = None
 
 
 def setup_radiation_scheme(config: Config, data_dir: str = None,
                            ) -> RadiationScheme:
     """SETUP_RADIATION_SCHEME (ifs/radiation_setup.F90:109-580): core
-    setup + UV (0.2-0.4415 um) and PAR (0.4-0.7 um) weights."""
+    setup + UV (0.2-0.4415 um) and PAR (0.4-0.7 um) weights.
+
+    UV/PAR weights work for any SW gas model via the spectral
+    definition built at setup (tables.specdef_sw): band-wise for RRTMG,
+    per-g-point when do_cloud_aerosol_per_sw_g_point (ecCKD), matching
+    get_sw_weights' use_bands choice (radiation_config.F90:1666-1668).
+    """
     cfg = config.replace(do_surface_sw_spectral_flux=True,
                          do_canopy_fluxes_sw=True,
                          do_canopy_fluxes_lw=True)
     cfg, tables = setup_radiation(cfg, data_dir=data_dir)
-    from ecrad_tpu.optics.spectral_def import SpectralDefinition
-    from ecrad_tpu.optics import rrtmg_data
-    from ecrad_tpu.config import GasModel
-    if cfg.gas_model_sw == GasModel.RRTMG:
-        specdef = SpectralDefinition.bands_only(
-            rrtmg_data.SW_WAVENUM1, rrtmg_data.SW_WAVENUM2, is_solar=True)
-        use_bands = True
-    else:
-        raise NotImplementedError(
-            "UV/PAR weights currently implemented for RRTMG SW")
+    specdef = tables.specdef_sw
+    use_bands = not cfg.do_cloud_aerosol_per_sw_g_point
     iband_uv, weight_uv = get_sw_weights(specdef, 0.2e-6, 0.4415e-6,
                                          use_bands)
     iband_par, weight_par = get_sw_weights(specdef, 0.4e-6, 0.7e-6,
                                            use_bands)
+    ig_uv_bio = weight_uv_bio = None
+    if not use_bands:
+        from ecrad_tpu.optics.spectral import get_uv_biological_weights
+        try:
+            ig_uv_bio, weight_uv_bio = get_uv_biological_weights(specdef)
+        except ValueError:
+            pass
     return RadiationScheme(cfg, tables, iband_uv, weight_uv,
-                           iband_par, weight_par)
+                           iband_par, weight_par,
+                           ig_uv_bio, weight_uv_bio)
 
 
 def radiation_scheme(scheme: RadiationScheme, *,
@@ -79,11 +89,20 @@ def radiation_scheme(scheme: RadiationScheme, *,
                      cloud_frac, q_liquid, q_ice, q_rain, q_snow,
                      aerosol_mmr=None, ccn_land=None, ccn_sea=None,
                      re_liq=None, re_ice=None, cloud_overlap=None,
-                     iseed=None):
+                     iseed=None, cloud_extra=None, fractional_std=None):
     """RADIATION_SCHEME (ifs/radiation_scheme.F90): flat arrays in, net
     fluxes + surface diagnostics out.  Gas arrays are mass mixing
     ratios; q is specific humidity used directly as the H2O MMR, and
-    q_ice includes snow (L393-395)."""
+    q_ice includes snow (L393-395).
+
+    cloud_extra: optional dict merged into the cloud inputs before the
+    McICA generation step; supplying od_scaling_sw/_lw +
+    total_cloud_cover_sw/_lw there bypasses the on-device generator
+    (used by the BITIDENTITY-style cross-driver consistency test,
+    reference Makefile:66-69 + driver/ecrad_ifs_driver.F90:445-452).
+
+    The returned dict includes "_flux" (the full Flux container) so
+    drivers can write net-flux output files."""
     cfg, tables = scheme.config, scheme.tables
     ncol, nlev = np.shape(pressure_fl)
 
@@ -111,7 +130,10 @@ def radiation_scheme(scheme: RadiationScheme, *,
         cloud_overlap = jnp.exp(
             -jnp.maximum(dz, 0.0) / (decorr_km[:, None] * 1000.0))
 
-    fractional_std = jnp.ones((ncol, nlev)) * 1.0  # RCLOUD_FRAC_STD
+    if fractional_std is None:
+        fractional_std = jnp.ones((ncol, nlev)) * 1.0  # RCLOUD_FRAC_STD
+    else:
+        fractional_std = jnp.asarray(fractional_std)
 
     cloud = {
         "fraction": jnp.asarray(cloud_frac),
@@ -128,7 +150,11 @@ def radiation_scheme(scheme: RadiationScheme, *,
             2500.0, 14000.0, 3.5, 0.75)
         cloud["inv_cloud_effective_size"] = jnp.asarray(inv_cloud)
         cloud["inv_inhom_effective_size"] = jnp.asarray(inv_inhom)
-    if Solver.MCICA in (cfg.sw_solver, cfg.lw_solver):
+    if cloud_extra:
+        cloud.update({k: jnp.asarray(v) for k, v in cloud_extra.items()})
+    if Solver.MCICA in (cfg.sw_solver, cfg.lw_solver) \
+            and "od_scaling_sw" not in cloud \
+            and "od_scaling_lw" not in cloud:
         # on-device counter-based generator (solvers/cloud_generator.py)
         from ecrad_tpu.solvers.cloud_generator import \
             cloud_generator_device
@@ -157,6 +183,10 @@ def radiation_scheme(scheme: RadiationScheme, *,
                       ("ccl4", ccl4), ("o3", o3)):
         gas_mmr = gas_mmr.at[:, :, constants.GAS_INDEX[name]].set(
             jnp.asarray(arr))
+    # well-mixed O2 at 0.20944 VMR (radiation_scheme.F90:536)
+    o2_mmr = 0.20944 * (constants.MOLAR_MASS["o2"]
+                        / constants.MOLAR_MASS_DRY_AIR)
+    gas_mmr = gas_mmr.at[:, :, constants.GAS_INDEX["o2"]].set(o2_mmr)
 
     aerosol = None
     if cfg.use_aerosols and aerosol_mmr is not None:
@@ -203,6 +233,12 @@ def radiation_scheme(scheme: RadiationScheme, *,
     out["flux_par"] = sdb[:, jnp.asarray(scheme.iband_par)] @ wpar
     out["flux_par_clear"] = \
         sdb_clear[:, jnp.asarray(scheme.iband_par)] @ wpar
+    if scheme.ig_uv_bio is not None:
+        # biologically effective UV (divide by 40 for UV index,
+        # radiation_config.F90:1722-1724)
+        out["flux_uv_biological"] = (
+            sdb[:, jnp.asarray(scheme.ig_uv_bio)]
+            @ jnp.asarray(scheme.weight_uv_bio))
 
     # effective broadband emissivity (L327-333)
     black_body_net = out["flux_lw_dn_surf"] \
@@ -218,4 +254,5 @@ def radiation_scheme(scheme: RadiationScheme, *,
     if flux.sw_dn_diffuse_surf_canopy is not None:
         out["sw_diffuse_band"] = flux.sw_dn_diffuse_surf_canopy
         out["sw_direct_band"] = flux.sw_dn_direct_surf_canopy
+    out["_flux"] = flux
     return out

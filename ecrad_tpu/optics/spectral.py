@@ -114,6 +114,33 @@ def get_sw_mapping(specdef, wavelength_bound, use_bands=True):
     return np.asarray(mapping)[1:ninterval + 1]
 
 
+def get_uv_biological_weights(specdef):
+    """Per-g-point weights for the UV biologically effective flux
+    (radiation_config.F90:1724-1764 get_uv_biological_weights): the
+    McKinlay & Diffey (1987) erythemal action spectrum, log-interpolated
+    onto the spectral definition's fine wavenumber grid, with any
+    wavelength below 298 nm given weight 1.  Divide the resulting flux
+    by 40 to obtain the UV index.
+
+    Requires a g-point-resolved spectral definition (ecCKD); RRTMG's
+    band-only definition aborts as in the reference.
+
+    Returns (ig, weight) for the non-zero g-points."""
+    import numpy as np
+    if specdef.gpoint_fraction.shape[0] != specdef.nwav \
+            or specdef.nwav == specdef.nband:
+        # bands_only definitions have no fine grid — reference aborts
+        # (radiation_spectral_definition.F90:963-967)
+        raise ValueError("UV biological weights require a g-point "
+                         "spectral definition (ecCKD gas optics)")
+    weight_g = specdef.weighted_mapping(
+        [1.0e-9, 298.0e-9, 328.0e-9, 400.0e-9],
+        [1.0, 1.0, 0.0015136, 0.0001216], do_logarithmic=True)
+    weight_g = np.asarray(weight_g)
+    ig = np.nonzero(weight_g > 0.0)[0]
+    return ig, weight_g[ig]
+
+
 def get_sw_weights(specdef, wavelength1, wavelength2, use_bands=True):
     """Band indices + weights for a surface SW diagnostic in a
     wavelength range (radiation_config.F90:1625-1722 get_sw_weights):

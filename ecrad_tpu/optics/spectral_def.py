@@ -190,6 +190,44 @@ class SpectralDefinition:
         return mapping / np.maximum(norm, 1e-300)
 
     # ------------------------------------------------------------------
+    def weighted_mapping(self, wavelength, weights_in,
+                         do_logarithmic=False):
+        """Per-g-point weights for an arbitrary piecewise-linear spectral
+        weighting function (radiation_spectral_definition.F90:886-972
+        weighted_mapping): interpolate weights_in (defined at the given
+        wavelengths, metres, increasing) onto the fine wavenumber grid
+        (optionally in log space) and project through gpoint_fraction.
+
+        Returns an array of shape (ng,)."""
+        wavelength = np.asarray(wavelength, np.float64)
+        weights_in = np.asarray(weights_in, np.float64)
+        nwl = wavelength.size
+        weights_wn = np.zeros(self.nwav)
+        # wavelength of each fine wavenumber interval's midpoint
+        wl_wn = 0.01 / (0.5 * (self.wavenumber1 + self.wavenumber2))
+        iwn = self.nwav - 1
+        while wavelength[0] > wl_wn[iwn] and iwn > 0:
+            iwn -= 1
+        for jwl in range(nwl - 1):
+            if do_logarithmic:
+                weight1 = np.log(weights_in[jwl])
+                weight2 = np.log(weights_in[jwl + 1])
+            else:
+                # reference uses weights_in(jwl) for both endpoints in
+                # the linear branch (i.e. piecewise-constant)
+                weight1 = weight2 = weights_in[jwl]
+            while wavelength[jwl + 1] > wl_wn[iwn]:
+                w = ((weight1 * (wavelength[jwl + 1] - wl_wn[iwn])
+                      + weight2 * (wl_wn[iwn] - wavelength[jwl]))
+                     / (wavelength[jwl + 1] - wavelength[jwl]))
+                weights_wn[iwn] = np.exp(w) if do_logarithmic else w
+                if iwn > 0:
+                    iwn -= 1
+                else:
+                    break
+        return weights_wn @ self.gpoint_fraction
+
+    # ------------------------------------------------------------------
     def calc_mapping_from_wavenumber_bands(self, wavenumber1, wavenumber2,
                                            use_bands=False,
                                            use_fluxes=False):
