@@ -426,3 +426,159 @@ class Config:
             kw["i_lw_emiss_index"] = as_tuple(nml["i_lw_emiss_index"], int)
 
         return cls(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Resolved-configuration dump (radiation_config.F90:1411-1612 print_config):
+# the reference's main observability tool — every resolved setting with the
+# namelist key that controls it, in the same layout as
+# test/ifs/ecrad_meridian_default_out_REFERENCE.log.
+
+_SOLVER_DISPLAY = {Solver.CLOUDLESS: "Cloudless", Solver.HOMOGENEOUS:
+                   "Homogeneous", Solver.MCICA: "McICA",
+                   Solver.SPARTACUS: "SPARTACUS",
+                   Solver.TRIPLECLOUDS: "Tripleclouds"}
+_GAS_DISPLAY = {GasModel.MONOCHROMATIC: "Monochromatic",
+                GasModel.RRTMG: "RRTMG-IFS", GasModel.ECCKD: "ECCKD"}
+_LIQ_DISPLAY = {LiquidModel.MONOCHROMATIC: "Monochromatic",
+                LiquidModel.SOCRATES: "SOCRATES",
+                LiquidModel.SLINGO: "Slingo",
+                LiquidModel.JAHANGIR: "Jahangir",
+                LiquidModel.NIELSEN: "Nielsen"}
+_ICE_DISPLAY = {IceModel.MONOCHROMATIC: "Monochromatic",
+                IceModel.FU: "Fu-IFS", IceModel.BARAN: "Baran",
+                IceModel.BARAN2016: "Baran2016",
+                IceModel.BARAN2017: "Baran2017", IceModel.YI: "Yi"}
+_OVERLAP_DISPLAY = {Overlap.MAXIMUM_RANDOM: "Max-Ran",
+                    Overlap.EXPONENTIAL_RANDOM: "Exp-Ran",
+                    Overlap.EXPONENTIAL: "Exp-Exp"}
+_PDF_DISPLAY = {PdfShape.LOGNORMAL: "Lognormal", PdfShape.GAMMA: "Gamma"}
+_ENTRAPMENT_DISPLAY = {Entrapment.ZERO: "Zero",
+                       Entrapment.EDGE_ONLY: "Edge-only",
+                       Entrapment.EXPLICIT: "Explicit",
+                       Entrapment.EXPLICIT_NON_FRACTAL: "Non-fractal",
+                       Entrapment.MAXIMUM: "Maximum"}
+
+
+def describe_config(config: "Config") -> str:
+    """Reference-style resolved-config dump.  Each line shows the human
+    description, the resolved value and the namelist key, mirroring
+    print_config (radiation_config.F90:1411-1612)."""
+    lines = []
+
+    def tf(v):
+        return "T" if v else "F"
+
+    def onoff(desc, key, v):
+        lines.append(f"  {desc + (' ON' if v else ' OFF'):58s} "
+                     f"({key}={tf(v)})")
+
+    def enum_line(desc, key, display, v):
+        lines.append(f"  {desc + ' \"' + display[v] + '\"':58s} "
+                     f"({key}={int(v)})")
+
+    def num(desc, key, v):
+        lines.append(f"  {desc + ' = ' + repr(v):58s} ({key})")
+
+    lines.append("General settings:")
+    lines.append(f'  Data files expected in "{config.directory_name}"')
+    onoff("Clear-sky calculations are", "do_clear", config.do_clear)
+    onoff("Saving intermediate radiative properties",
+          "do_save_radiative_properties",
+          config.do_save_radiative_properties)
+    onoff("Saving spectral flux profiles", "do_save_spectral_flux",
+          config.do_save_spectral_flux)
+    enum_line("Shortwave gas model is", "i_gas_model_sw", _GAS_DISPLAY,
+              config.gas_model_sw)
+    enum_line("Longwave gas model is", "i_gas_model_lw", _GAS_DISPLAY,
+              config.gas_model_lw)
+    onoff("Aerosols are", "use_aerosols", config.use_aerosols)
+    if config.use_aerosols:
+        onoff("General aerosol optics", "use_general_aerosol_optics",
+              config.use_general_aerosol_optics)
+    lines.append("  Clouds are " + ("ON" if config.do_clouds else "OFF"))
+    onoff("Do cloud/aerosol/surface SW properties per g-point",
+          "do_cloud_aerosol_per_sw_g_point",
+          config.do_cloud_aerosol_per_sw_g_point)
+    onoff("Do cloud/aerosol/surface LW properties per g-point",
+          "do_cloud_aerosol_per_lw_g_point",
+          config.do_cloud_aerosol_per_lw_g_point)
+    onoff("Represent solar cycle in spectral irradiance",
+          "use_spectral_solar_cycle", config.use_spectral_solar_cycle)
+    onoff("Scale spectral solar irradiance",
+          "use_spectral_solar_scaling", config.use_spectral_solar_scaling)
+
+    lines.append("Surface and top-of-atmosphere settings:")
+    onoff("Saving top-of-atmosphere spectral fluxes",
+          "do_toa_spectral_flux", config.do_toa_spectral_flux)
+    onoff("Saving surface shortwave spectral fluxes",
+          "do_surface_sw_spectral_flux",
+          config.do_surface_sw_spectral_flux)
+    onoff("Saving surface shortwave fluxes in albedo bands",
+          "do_canopy_fluxes_sw", config.do_canopy_fluxes_sw)
+    onoff("Saving surface longwave fluxes in emissivity bands",
+          "do_canopy_fluxes_lw", config.do_canopy_fluxes_lw)
+    onoff("Longwave derivative calculation is", "do_lw_derivatives",
+          config.do_lw_derivatives)
+    onoff("Nearest-neighbour spectral albedo mapping",
+          "do_nearest_spectral_sw_albedo",
+          config.do_nearest_spectral_sw_albedo)
+    onoff("Nearest-neighbour spectral emissivity mapping",
+          "do_nearest_spectral_lw_emiss",
+          config.do_nearest_spectral_lw_emiss)
+    onoff("Planck-weighted surface albedo/emiss mapping",
+          "do_weighted_surface_mapping",
+          config.do_weighted_surface_mapping)
+
+    if config.do_clouds:
+        lines.append("Cloud settings:")
+        num("Cloud fraction threshold", "cloud_fraction_threshold",
+            config.cloud_fraction_threshold)
+        num("Cloud mixing-ratio threshold",
+            "cloud_mixing_ratio_threshold",
+            config.cloud_mixing_ratio_threshold)
+        onoff("General cloud optics", "use_general_cloud_optics",
+              config.use_general_cloud_optics)
+        if not config.use_general_cloud_optics:
+            enum_line("Liquid optics scheme is", "i_liq_model",
+                      _LIQ_DISPLAY, config.liquid_model)
+            enum_line("Ice optics scheme is", "i_ice_model",
+                      _ICE_DISPLAY, config.ice_model)
+            onoff("Longwave ice optics bug in Fu scheme is",
+                  "do_fu_lw_ice_optics_bug",
+                  config.do_fu_lw_ice_optics_bug)
+        enum_line("Cloud overlap scheme is", "i_overlap_scheme",
+                  _OVERLAP_DISPLAY, config.overlap_scheme)
+        onoff("Use \"beta\" overlap parameter is", "use_beta_overlap",
+              config.use_beta_overlap)
+        enum_line("Cloud PDF shape is", "i_cloud_pdf_shape",
+                  _PDF_DISPLAY, config.cloud_pdf_shape)
+        num("Cloud inhom decorrelation scaling",
+            "cloud_inhom_decorr_scaling",
+            config.cloud_inhom_decorr_scaling)
+
+    lines.append("Solver settings:")
+    enum_line("Shortwave solver is", "i_solver_sw", _SOLVER_DISPLAY,
+              config.sw_solver)
+    onoff("Shortwave delta scaling after merge with gases",
+          "do_sw_delta_scaling_with_gases",
+          config.do_sw_delta_scaling_with_gases)
+    enum_line("Longwave solver is", "i_solver_lw", _SOLVER_DISPLAY,
+              config.lw_solver)
+    onoff("Longwave cloud scattering is", "do_lw_cloud_scattering",
+          config.do_lw_cloud_scattering)
+    onoff("Longwave aerosol scattering is", "do_lw_aerosol_scattering",
+          config.do_lw_aerosol_scattering)
+    onoff("Use vectorizable McICA cloud generator",
+          "use_vectorizable_generator",
+          config.use_vectorizable_generator)
+    if Solver.SPARTACUS in (config.sw_solver, config.lw_solver):
+        onoff("3D effects are", "do_3d_effects", config.do_3d_effects)
+        enum_line("Shortwave entrapment is", "i_sw_entrapment",
+                  _ENTRAPMENT_DISPLAY, config.sw_entrapment)
+    if config.is_consolidated:
+        lines.append("Consolidated spectral sizes:")
+        lines.append(f"  n_g_sw = {config.n_g_sw}, n_bands_sw = "
+                     f"{config.n_bands_sw}, n_g_lw = {config.n_g_lw}, "
+                     f"n_bands_lw = {config.n_bands_lw}")
+    return "\n".join(lines)

@@ -129,8 +129,19 @@ def run(config_path: str, input_path: str, output_path: str,
     if nrepeat is None:
         nrepeat = driver_config.nrepeat
 
+    if driver_config.iverbose >= 2:
+        print("-------------------- OFFLINE ECRAD_TPU RADIATION SCHEME "
+              "--------------------")
+        print(f"Floating-point precision: "
+              f"{'double' if dtype == 'float64' else 'single'}")
+
     with profiling.hook('radiation_interface:setup_radiation'):
         config, tables = setup_radiation(config)
+
+    if driver_config.iverbose >= 2:
+        # resolved-config dump (radiation_config.F90:1411-1612)
+        from ecrad_tpu.config import describe_config
+        print(describe_config(config))
     with profiling.hook('ecrad_driver:read_input'):
         inp = read_input(input_path, driver_config)
 
@@ -244,11 +255,13 @@ def run(config_path: str, input_path: str, output_path: str,
         save_net_fluxes(output_path, config, flux, out_phl,
                         experiment_name=driver_config.experiment_name,
                         double_precision=(
-                            driver_config.do_write_double_precision))
+                            driver_config.do_write_double_precision),
+                        hdf5=driver_config.do_write_hdf5)
     else:
         save_fluxes(output_path, config, flux, out_phl,
                     experiment_name=driver_config.experiment_name,
-                    double_precision=driver_config.do_write_double_precision)
+                    double_precision=driver_config.do_write_double_precision,
+                    hdf5=driver_config.do_write_hdf5)
 
     # shortwave spectral diagnostics (ecrad_driver.F90:213-219,410-419)
     if len(driver_config.sw_diag_wavelength_bound) >= 2 and config.do_sw:

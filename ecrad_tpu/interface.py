@@ -162,7 +162,15 @@ def setup_radiation(config: Config, data_dir: str = None):
     config = config.replace(**kw)
 
     # --- surface albedo/emissivity interval consolidation
-    # (radiation_config.F90:1947-2103)
+    # (radiation_config.F90:1947-2103).  Note do_weighted_surface_mapping
+    # is parsed and printed but does NOT change the mapping: the
+    # reference's v1.7.1 consolidate has byte-identical code in both
+    # branches (radiation_config.F90:1985-1994, 2063-2072) and
+    # calc_mapping_from_bands always Planck-weights, so the committed
+    # golden outputs (CY49R1 sets the flag false) were produced with
+    # weighted mapping.  The equal_weighting capability exists in
+    # optics/spectral(_def).calc_mapping_from_bands for when upstream
+    # wires it.
     i_sw_idx = [i for i in config.i_sw_albedo_index if i and i > 0]
     if not i_sw_idx:
         i_sw_idx = [1]
@@ -452,6 +460,38 @@ def _optical_properties(config: Config, tables: Tables, *,
         g_sw_arr = jnp.zeros_like(od_sw)
 
     if config.use_aerosols and aerosol is not None \
+            and "od_sw" in aerosol:
+        # direct aerosol optical properties per band
+        # (radiation_aerosol.F90:44-56 allocate_direct +
+        # radiation_aerosol_optics.F90:832-1021
+        # add_aerosol_optics_direct): the user supplies band-wise
+        # od/ssa/g profiles (ncol, nlev, n_bands_sw|lw) instead of
+        # mixing ratios; express them as extensive (od, scat, scat*g)
+        # and reuse the same per-g merge
+        zero_sw = jnp.zeros_like(aerosol["od_sw"])
+        scat_sw = aerosol["od_sw"] * aerosol.get("ssa_sw", zero_sw)
+        aer = {
+            "od_sw": aerosol["od_sw"],
+            "scat_sw": scat_sw,
+            "scatg_sw": scat_sw * aerosol.get("g_sw", zero_sw),
+        }
+        if config.do_lw and "od_lw" in aerosol:
+            zero_lw = jnp.zeros_like(aerosol["od_lw"])
+            scat_lw = aerosol["od_lw"] * aerosol.get("ssa_lw", zero_lw)
+            aer.update(
+                od_lw=aerosol["od_lw"], scat_lw=scat_lw,
+                scatg_lw=scat_lw * aerosol.get("g_lw", zero_lw))
+        else:
+            nblw = getattr(config, "n_bands_lw", 0) or 1
+            zlw = jnp.zeros(od_lw.shape[:-1] + (nblw,), od_lw.dtype) \
+                if config.do_lw else None
+            if zlw is not None:
+                aer.update(od_lw=zlw, scat_lw=zlw, scatg_lw=zlw)
+        od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr = \
+            aerosol_mod.add_aerosol_optics(
+                config, aer, tables.band_from_g_sw, tables.band_from_g_lw,
+                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr)
+    elif config.use_aerosols and aerosol is not None \
             and tables.aerosol is not None \
             and config.gas_model_sw != GasModel.MONOCHROMATIC:
         # RH-dependent aerosol merge (radiation_aerosol_optics.F90:487+)

@@ -33,6 +33,7 @@ class DriverConfig:
     do_save_inputs: bool = False
     do_save_net_fluxes: bool = False
     do_write_double_precision: bool = False
+    do_write_hdf5: bool = False    # ecrad_driver_config.F90:121
     do_correct_unphysical_inputs: bool = False
     experiment_name: str = ""
     # Cloud geometry overrides

@@ -126,3 +126,59 @@ class NcWriter:
 
     def close(self):
         self._f.close()
+
+
+class Hdf5Writer:
+    """HDF5/NetCDF4-style writer (easy_netcdf.F90 HDF5 option,
+    driver/ecrad_driver_config.F90:121 do_write_hdf5): same interface
+    as NcWriter, backed by h5py, using netCDF4's dimension-scale
+    convention so the files are readable by netCDF4/xarray tooling."""
+
+    def __init__(self, path: str):
+        import h5py
+        self._f = h5py.File(path, "w")
+        self._dims: Dict[str, int] = {}
+
+    def define_dimension(self, name: str, size: int):
+        if name not in self._dims:
+            d = self._f.create_dataset(name, data=np.arange(size, dtype="f4"))
+            d.make_scale(name)
+            self._dims[name] = size
+
+    def write(self, name: str, data: np.ndarray,
+              dim_names: Sequence[str],
+              units: Optional[str] = None,
+              long_name: Optional[str] = None,
+              dtype: str = "f4"):
+        data = np.asarray(data)
+        for dn, sz in zip(dim_names, data.shape):
+            self.define_dimension(dn, sz)
+        np_dt = {"f4": np.float32, "f8": np.float64,
+                 "i4": np.int32}.get(dtype, np.float32)
+        v = self._f.create_dataset(name, data=data.astype(np_dt))
+        for i, dn in enumerate(dim_names):
+            v.dims[i].attach_scale(self._f[dn])
+        if units is not None:
+            v.attrs["units"] = units
+        if long_name is not None:
+            v.attrs["long_name"] = long_name
+
+    def write_scalar(self, name: str, value: float,
+                     units: Optional[str] = None,
+                     long_name: Optional[str] = None):
+        v = self._f.create_dataset(name, data=np.float64(value))
+        if units:
+            v.attrs["units"] = units
+        if long_name:
+            v.attrs["long_name"] = long_name
+
+    def set_global_attr(self, name: str, value: str):
+        self._f.attrs[name] = value
+
+    def close(self):
+        self._f.close()
+
+
+def make_writer(path: str, hdf5: bool = False):
+    """Writer factory: NetCDF3 (default) or HDF5 (do_write_hdf5)."""
+    return Hdf5Writer(path) if hdf5 else NcWriter(path)

@@ -10,14 +10,14 @@ import numpy as np
 
 from ecrad_tpu.config import Config
 from ecrad_tpu.containers import Flux
-from ecrad_tpu.io.netcdf import NcWriter
+from ecrad_tpu.io.netcdf import NcWriter, make_writer
 
 
 def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                 experiment_name: str = "",
-                double_precision: bool = False):
+                double_precision: bool = False, hdf5: bool = False):
     dt = "f8" if double_precision else "f4"
-    w = NcWriter(path)
+    w = make_writer(path, hdf5)
     w.set_global_attr("title",
                       "Radiative flux profiles from the ecrad_tpu "
                       "offline radiation scheme")
@@ -202,12 +202,12 @@ def save_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
 
 def save_net_fluxes(path: str, config: Config, flux: Flux, pressure_hl,
                     experiment_name: str = "",
-                    double_precision: bool = False):
+                    double_precision: bool = False, hdf5: bool = False):
     """Net-flux output variant (radiation_save.F90:464-714
     save_net_fluxes): net flux profiles + surface/TOA values, as used by
     the IFS-style driver validation."""
     dt = "f8" if double_precision else "f4"
-    w = NcWriter(path)
+    w = make_writer(path, hdf5)
     w.set_global_attr("title",
                       "Radiative flux profiles from the ecrad_tpu "
                       "offline radiation scheme")

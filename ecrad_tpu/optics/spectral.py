@@ -34,7 +34,7 @@ def planck_function_wavenumber(wavenumber_cm, temperature):
 def calc_mapping_from_bands(wavenumber1_band, wavenumber2_band,
                             reference_temperature,
                             wavelength_bound, i_intervals,
-                            use_fluxes=False):
+                            use_fluxes=False, equal_weighting=False):
     """Weights for mapping per-interval surface properties to bands.
 
     Per-band (use_bands=True) variant of
@@ -47,6 +47,11 @@ def calc_mapping_from_bands(wavenumber1_band, wavenumber2_band,
       wavenumber1_band/2_band: (nband,) band bounds in cm-1.
       wavelength_bound: (ninterval-1,) increasing wavelength bounds (m).
       i_intervals: (ninterval,) 1-based albedo-band index per interval.
+      equal_weighting: weight each wavenumber equally instead of by the
+        reference Planck function (do_weighted_surface_mapping=false,
+        radiation_config.F90:507-512; note the reference's v1.7.1
+        consolidate has identical code in both branches, i.e. the flag
+        is a no-op there — here we implement the documented intent).
     Returns mapping (ninput, nband).
     """
     wavenumber1_band = np.asarray(wavenumber1_band, np.float64)
@@ -76,8 +81,11 @@ def calc_mapping_from_bands(wavenumber1_band, wavenumber2_band,
                           0.01 / wavelength_bound[jint])
             if wn2 > wn1:
                 wns = wn1 + np.arange(nsample) * (wn2 - wn1) / (nsample - 1)
-                planck = planck_function_wavenumber(
-                    wns, reference_temperature)
+                if equal_weighting:
+                    planck = np.ones(nsample)
+                else:
+                    planck = planck_function_wavenumber(
+                        wns, reference_temperature)
                 mapping[i_intervals[jint] - 1, jband] += \
                     np.sum(planck * weight_sample) * (wn2 - wn1)
                 if use_fluxes:
@@ -85,8 +93,11 @@ def calc_mapping_from_bands(wavenumber1_band, wavenumber2_band,
                             + np.arange(nsample)
                             * (wavenumber2_band[jband]
                                - wavenumber1_band[jband]) / (nsample - 1))
-                    planck_b = planck_function_wavenumber(
-                        wnsb, reference_temperature)
+                    if equal_weighting:
+                        planck_b = np.ones(nsample)
+                    else:
+                        planck_b = planck_function_wavenumber(
+                            wnsb, reference_temperature)
                     mapping_denom[i_intervals[jint] - 1, jband] += \
                         np.sum(planck_b * weight_sample) \
                         * (wavenumber2_band[jband]

@@ -252,9 +252,14 @@ class SpectralDefinition:
 
     # ------------------------------------------------------------------
     def calc_mapping_from_bands(self, wavelength_bound, i_intervals,
-                                use_bands=False, use_fluxes=False):
+                                use_bands=False, use_fluxes=False,
+                                equal_weighting=False):
         """Albedo/emissivity interval weights
         (radiation_spectral_definition.F90:515-822).
+
+        equal_weighting: weight wavenumbers equally instead of by the
+        Planck/solar spectrum (do_weighted_surface_mapping=false,
+        radiation_config.F90:507-512).
 
         Returns mapping (ninput, nband|ng)."""
         i_intervals = np.asarray(i_intervals, int)
@@ -267,10 +272,12 @@ class SpectralDefinition:
             return calc_mapping_from_bands(
                 self.wavenumber1_band, self.wavenumber2_band,
                 self.reference_temperature, wavelength_bound, i_intervals,
-                use_fluxes=use_fluxes)
+                use_fluxes=use_fluxes, equal_weighting=equal_weighting)
 
         # per-g branch: overlap of input intervals with each fine interval
-        if self.solar_spectral_irradiance is not None:
+        if equal_weighting:
+            planck = np.ones(self.nwav)
+        elif self.solar_spectral_irradiance is not None:
             planck = np.asarray(self.solar_spectral_irradiance, np.float64)
         else:
             wav_mid = 0.5 * (self.wavenumber1 + self.wavenumber2)
