@@ -1,242 +1,146 @@
 #!/usr/bin/env python3
-"""Per-stage TPU timing of the flagship step (RRTMG McICA SW+LW).
+"""Per-stage device timing of the flagship step on the real TPU.
 
-Times each pipeline stage in isolation with the differencing protocol
-(two batch sizes, min-over-repeats, RTT cancels) so we know where the
-time actually goes before optimizing.  Usage:
+Each pipeline stage (cloud generator, optical properties incl. RRTMG
+gas optics, McICA LW, McICA SW) is jitted separately with realistic
+inputs and timed with the fetch-a-scalar protocol (see bench.py); the
+trivial-program RTT is subtracted.  Stage sums exceed the fused full
+step because XLA fuses across stage boundaries in production — the
+table attributes time, it does not add up exactly.
 
-    python tools/profile_stages.py [ncol_small ncol_big niter]
+Usage:  python tools/profile_stages.py [ncol]
+Writes a markdown table to stdout (redirect into docs/PERF.md).
 """
 
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".."))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-import __graft_entry__ as ge
-from ecrad_tpu.config import GasModel, Solver
-from ecrad_tpu.optics import rrtmg
-from ecrad_tpu.solvers import mcica
-from ecrad_tpu.solvers.cloud_generator import cloud_generator_device
 
-
-def timed(fn, args_list, label, results):
-    """min-over-repeats wall time of fn(*args), result fetched."""
-    f = jax.jit(fn)
-    t0 = time.time()
-    out = f(*args_list[0])
-    val = float(np.asarray(jax.tree_util.tree_reduce(
-        lambda a, b: a + jnp.sum(b.astype(jnp.float32)),
-        jax.tree_util.tree_leaves(out), jnp.float32(0.0))))
-    compile_t = time.time() - t0
+def timeit(fn, *args, n=8):
+    out = fn(*args)
+    val = float(np.asarray(out))    # compile + warm
     times = []
-    for a in args_list[1:]:
+    for _ in range(n):
         t0 = time.time()
-        out = f(*a)
-        float(np.asarray(jax.tree_util.tree_reduce(
-            lambda acc, b: acc + jnp.sum(b.astype(jnp.float32)),
-            jax.tree_util.tree_leaves(out), jnp.float32(0.0))))
+        float(np.asarray(fn(*args)))
         times.append(time.time() - t0)
-    t = min(times)
-    results.setdefault(label, {})
-    results[label]["t"] = t
-    results[label]["compile"] = compile_t
-    print(f"  {label:40s} {t*1e3:9.2f} ms  (compile {compile_t:.1f}s, "
-          f"chk {val:.3e})", flush=True)
-    return t
+    return min(times), val
 
 
-def build_ctx(ncol):
-    """All inputs + precomputed intermediates for stage isolation."""
-    step, args = ge._build(ncol=ncol, dtype="float32")
-    # re-derive the pieces _build wires together
-    import ecrad_tpu.interface as iface
-    return step, args
+def reduce_scalar(tree):
+    acc = jnp.float32(0.0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if leaf is not None and hasattr(leaf, "astype"):
+            acc = acc + jnp.sum(leaf.astype(jnp.float32))
+    return acc
 
 
 def main():
-    ncol_small = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    ncol_big = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    niter = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    ncol = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 
-    print(f"devices: {jax.devices()}", flush=True)
+    import __graft_entry__ as ge
+    from ecrad_tpu import pipeline
+    from ecrad_tpu.interface import _optical_properties, radiation
 
-    from ecrad_tpu.interface import radiation, _optical_properties
-    import ecrad_tpu.interface as iface
+    step, args = ge._build(ncol=ncol, dtype="float32")
+    config, tables = step.config, step.tables
+    arg_names = ["pressure_hl", "temperature_hl", "gas_mmr", "cos_sza",
+                 "skin_temperature", "sw_albedo", "sw_albedo_direct",
+                 "lw_emissivity", "cloud", "aerosol"]
+    kw = dict(zip(arg_names, args))
+    cloud, aerosol = kw.pop("cloud"), kw.pop("aerosol")
 
-    all_results = {}
-    for ncol in (ncol_small, ncol_big):
-        print(f"\n=== ncol={ncol} ===", flush=True)
-        res = {}
-        all_results[ncol] = res
-        step, args = ge._build(ncol=ncol, dtype="float32")
-        config = ge._build.__globals__  # not used
-        # rebuild config/tables the same way
-        from ecrad_tpu.config import Config, IceModel, LiquidModel
-        from ecrad_tpu.data import DATA_DIR
-        from ecrad_tpu.interface import setup_radiation
+    triv = jax.jit(lambda x: x + 1.0)
+    float(np.asarray(triv(jnp.float32(0.0))))
+    rtt = 1e9
+    for i in range(20):
+        t0 = time.time()
+        float(np.asarray(triv(jnp.float32(i))))
+        rtt = min(rtt, time.time() - t0)
 
-        # full step
-        def variants(n):
-            out = []
-            for i in range(n + 1):
-                cloud_i = dict(args[8])
-                cloud_i["iseed"] = cloud_i["iseed"] + (i + 1)
-                out.append(args[:8] + (cloud_i,) + args[9:])
-            return out
+    rows = []
 
-        timed(step, variants(niter), "full_step", res)
+    # 1) cloud generator (McICA sample, SW+LW)
+    gen = jax.jit(lambda cl: reduce_scalar(
+        pipeline.add_cloud_sample(config, tables, cl)))
+    t, _ = timeit(gen, cloud)
+    rows.append(("cloud_generator (SW+LW McICA sample)", t - rtt))
 
-        # Rebuild internals for stage isolation
-        nam_kw = dict(
-            liquid_model=LiquidModel.SOCRATES, ice_model=IceModel.FU,
-            do_lw_derivatives=True, do_canopy_fluxes_sw=True,
-            do_canopy_fluxes_lw=True, do_nearest_spectral_lw_emiss=True,
-            i_lw_emiss_index=(1, 2, 1),
-            lw_emiss_wavelength_bound=(8.0e-6, 13.0e-6),
-            i_sw_albedo_index=(1, 2, 3, 4, 5, 6),
-            sw_albedo_wavelength_bound=(0.25e-6, 0.44e-6, 0.69e-6,
-                                        1.19e-6, 2.38e-6),
-            use_aerosols=True, n_aerosol_types=12,
-            i_aerosol_type_map=(-1, -2, -3, 7, 8, 9, -4, 10, 11, 11, -5,
-                                14),
-            use_general_cloud_optics=False, dtype_name="float32",
-        )
-        config = Config(**nam_kw)
-        config, tables = setup_radiation(config, data_dir=DATA_DIR)
-        (pressure_hl, temperature_hl, gas_mmr, cos_sza, skin_temperature,
-         sw_albedo, sw_albedo_direct, lw_emissivity, cloud, aerosol) = args
-        solar = 1366.0
+    # cloud with sample attached, reused below
+    cloud_s = jax.jit(
+        lambda cl: pipeline.add_cloud_sample(config, tables, cl))(cloud)
+    cloud_s = jax.block_until_ready(cloud_s)
 
-        gdict = {name: gas_mmr[:, :, i] for name, i in
-                 __import__("ecrad_tpu.constants",
-                            fromlist=["GAS_INDEX"]).GAS_INDEX.items()
-                 if name in ("h2o", "co2", "ch4", "n2o", "cfc11", "cfc12",
-                             "hcfc22", "ccl4", "o3")}
+    # 2) optical properties (RRTMG gas optics + aerosol + cloud optics
+    #    + albedo mapping)
+    op_fn = jax.jit(lambda c, a, k: reduce_scalar(_optical_properties(
+        config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
+        **k)))
+    t, _ = timeit(op_fn, cloud_s, aerosol, kw)
+    rows.append(("optical_properties (gas+aerosol+cloud optics)", t - rtt))
 
-        # stage: RRTMG gas optics (LW+SW)
-        def gas_stage(phl, thl, gm, mu, skin):
-            gd = {name: gm[:, :, i] for name, i in
-                  __import__("ecrad_tpu.constants",
-                             fromlist=["GAS_INDEX"]).GAS_INDEX.items()
-                  if name in ("h2o", "co2", "ch4", "n2o", "cfc11",
-                              "cfc12", "hcfc22", "ccl4", "o3")}
-            return rrtmg.gas_optics(
-                tables.gas["rrtmg"], phl, thl, gd, cos_sza=mu,
-                do_lw=True, do_sw=True, skin_temperature=skin,
-                solar_irradiance=solar,
-                min_gas_od_lw=config.min_gas_od_lw,
-                min_gas_od_sw=config.min_gas_od_sw)
+    op = jax.jit(lambda c, a, k: _optical_properties(
+        config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
+        **k))(cloud_s, aerosol, kw)
+    op = jax.block_until_ready(op)
 
-        gv = []
-        for i in range(niter + 1):
-            gv.append((pressure_hl, temperature_hl + 0.001 * i, gas_mmr,
-                       cos_sza, skin_temperature))
-        timed(gas_stage, gv, "rrtmg_gas_optics(LW+SW)", res)
+    # 3) McICA LW / 4) McICA SW solvers from precomputed properties
+    from ecrad_tpu.solvers import mcica
 
-        # stage: optical properties (gas + aerosol + cloud optics)
-        def optprops(phl, thl, gm, mu, skin, alb, albd, emis, cl, aer):
-            return _optical_properties(
-                config, tables, pressure_hl=phl, temperature_hl=thl,
-                gas_mmr=gm, cos_sza=mu, skin_temperature=skin,
-                sw_albedo=alb, sw_albedo_direct=albd, lw_emissivity=emis,
-                solar_irradiance=solar, cloud=cl, aerosol=aer)
+    def lw_fn(op_, cl):
+        go = op_["go"]
+        lw_emission = go.lw_emission * (1.0 - op_["lw_albedo_g"])
+        return reduce_scalar(mcica.solver_mcica_lw(
+            op_["od_lw"], op_["ssa_lw"], op_["g_lw_arr"],
+            op_["cl"]["od_lw"], op_["cl"]["ssa_lw"], op_["cl"]["g_lw"],
+            tables.band_from_g_lw, cl["od_scaling_lw"],
+            cl["total_cloud_cover_lw"], op_["frac"], go.planck_hl,
+            lw_emission, op_["lw_albedo_g"],
+            do_lw_cloud_scattering=config.do_lw_cloud_scattering,
+            do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
+            do_lw_derivatives=config.do_lw_derivatives))
 
-        ov = []
-        for i in range(niter + 1):
-            ov.append((pressure_hl, temperature_hl + 0.001 * i, gas_mmr,
-                       cos_sza, skin_temperature, sw_albedo,
-                       sw_albedo_direct, lw_emissivity, cloud, aerosol))
-        timed(optprops, ov, "optical_properties(all)", res)
+    t, _ = timeit(jax.jit(lw_fn), op, cloud_s)
+    rows.append(("solver_mcica_lw (two-stream + adding)", t - rtt))
 
-        # stage: cloud generator (SW + LW)
-        pdf = tables.pdf_sampler
+    def sw_fn(op_, cl, cos_sza):
+        go = op_["go"]
+        return reduce_scalar(mcica.solver_mcica_sw(
+            op_["od_sw"], op_["ssa_sw"], op_["g_sw_arr"],
+            op_["cl"]["od_sw"], op_["cl"]["ssa_sw"], op_["cl"]["g_sw"],
+            tables.band_from_g_sw, cl["od_scaling_sw"],
+            cl["total_cloud_cover_sw"], op_["frac"], go.incoming_sw,
+            cos_sza, op_["sw_albedo_diffuse_g"],
+            op_["sw_albedo_direct_g"]))
 
-        def gen_stage(iseed, frac, op, fsd):
-            a = cloud_generator_device(config, pdf, iseed, frac, op, fsd,
-                                       config.n_g_sw)
-            b = cloud_generator_device(config, pdf, iseed + 997, frac, op,
-                                       fsd, config.n_g_lw)
-            return a, b
+    t, _ = timeit(jax.jit(sw_fn), op, cloud_s, kw["cos_sza"])
+    rows.append(("solver_mcica_sw (two-stream + adding)", t - rtt))
 
-        gv2 = []
-        for i in range(niter + 1):
-            gv2.append((cloud["iseed"] + i, cloud["fraction"],
-                        cloud["overlap_param"], cloud["fractional_std"]))
-        timed(gen_stage, gv2, "cloud_generator(SW+LW)", res)
+    # full fused step for comparison
+    full = jax.jit(lambda c, a, k: reduce_scalar(pipeline.radiation_step(
+        config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
+        **k)))
+    t, _ = timeit(full, cloud, aerosol, kw)
+    rows.append(("FULL fused step (radiation_step)", t - rtt))
 
-        # precompute op once for solver stages
-        op = jax.jit(optprops)(*ov[0])
-        op = jax.tree_util.tree_map(
-            lambda x: x if isinstance(x, jnp.ndarray) else x, op)
-        od_sc_sw, tcc_sw = jax.jit(
-            lambda s: cloud_generator_device(
-                config, pdf, s, cloud["fraction"], cloud["overlap_param"],
-                cloud["fractional_std"], config.n_g_sw))(cloud["iseed"])
-        od_sc_lw, tcc_lw = jax.jit(
-            lambda s: cloud_generator_device(
-                config, pdf, s, cloud["fraction"], cloud["overlap_param"],
-                cloud["fractional_std"], config.n_g_lw))(
-                    cloud["iseed"] + 997)
-
-        lw_emission = op["go"].lw_emission * (1.0 - op["lw_albedo_g"])
-
-        def lw_stage(od_lw, od_sc, planck_hl, emis, ssa_lw, g_lw, clod,
-                     clssa, clg, tcc, frac2, alb):
-            return mcica.solver_mcica_lw(
-                od_lw, ssa_lw, g_lw, clod, clssa, clg,
-                tables.band_from_g_lw, od_sc, tcc, frac2,
-                planck_hl, emis, alb,
-                cloud_fraction_threshold=config.cloud_fraction_threshold,
-                do_lw_cloud_scattering=config.do_lw_cloud_scattering,
-                do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
-                do_lw_derivatives=True)
-
-        lv = []
-        for i in range(niter + 1):
-            lv.append((op["od_lw"] * (1.0 + 1e-5 * i), od_sc_lw,
-                       op["go"].planck_hl, lw_emission, op["ssa_lw"],
-                       op["g_lw_arr"], op["cl"]["od_lw"],
-                       op["cl"]["ssa_lw"], op["cl"]["g_lw"], tcc_lw,
-                       op["frac"], op["lw_albedo_g"]))
-        timed(lw_stage, lv, "solver_mcica_lw", res)
-
-        def sw_stage(od_sw, od_sc, ssa_sw, g_sw, clod, clssa, clg, tcc,
-                     frac2, inc, mu, albd, albdir):
-            return mcica.solver_mcica_sw(
-                od_sw, ssa_sw, g_sw, clod, clssa, clg,
-                tables.band_from_g_sw, od_sc, tcc, frac2, inc, mu,
-                albd, albdir,
-                cloud_fraction_threshold=config.cloud_fraction_threshold)
-
-        sv = []
-        for i in range(niter + 1):
-            sv.append((op["od_sw"] * (1.0 + 1e-5 * i), od_sc_sw,
-                       op["ssa_sw"], op["g_sw_arr"], op["cl"]["od_sw"],
-                       op["cl"]["ssa_sw"], op["cl"]["g_sw"], tcc_sw,
-                       op["frac"], op["go"].incoming_sw, cos_sza,
-                       op["sw_albedo_diffuse_g"],
-                       op["sw_albedo_direct_g"]))
-        timed(sw_stage, sv, "solver_mcica_sw", res)
-
-    # difference the two sizes
-    print(f"\n=== differenced (per {ncol_big - ncol_small} cols) ===")
-    dcol = ncol_big - ncol_small
-    total = None
-    for label in all_results[ncol_big]:
-        dt = all_results[ncol_big][label]["t"] \
-            - all_results[ncol_small][label]["t"]
-        cps = dcol / max(dt, 1e-9)
-        print(f"  {label:40s} {dt*1e3:9.2f} ms   {cps:12.0f} cols/s")
-        if label == "full_step":
-            total = cps
-    print(f"\nfull-step throughput: {total:.0f} cols/s/chip")
+    total = rows[-1][1]
+    print(f"\n## Per-stage device timing — ncol={ncol}, nlev=137, f32, "
+          f"{jax.devices()[0].device_kind}\n")
+    print(f"(RTT {rtt * 1e3:.1f} ms subtracted; stages jitted separately "
+          f"so their sum ≠ fused total)\n")
+    print("| stage | time (ms) | % of fused step |")
+    print("|---|---|---|")
+    for name, t in rows:
+        print(f"| {name} | {t * 1e3:.1f} | {100.0 * t / total:.0f}% |")
+    print(f"\ncols/s (fused, this size): {ncol / total:,.0f}")
 
 
 if __name__ == "__main__":
