@@ -197,9 +197,12 @@ def radiation_sharded(config: Config, tables: Tables,
 
     # check_vma off: lax.scan carries initialized from constants are
     # device-unvarying at entry but varying at exit, which the VMA check
-    # rejects; the computation itself is purely column-local
-    fn = shard_map(local_step, mesh=mesh, in_specs=(P("columns"),),
-                   out_specs=P("columns"), check_vma=False)
+    # rejects; the computation itself is purely column-local.
+    # jax.jit around shard_map is essential: an eager shard_map call
+    # dispatches every primitive of the body separately across devices
+    # (minutes for this program) instead of compiling one SPMD module.
+    fn = jax.jit(shard_map(local_step, mesh=mesh, in_specs=(P("columns"),),
+                           out_specs=P("columns"), check_vma=False))
     flux = fn(tree)
     return jax.tree_util.tree_map(
         lambda x: None if x is None else x[:ncol], flux,

@@ -1,4 +1,4 @@
-"""Adding method flux computations as lax.scan recurrences.
+"""Adding method flux computations.
 
 Reference: radiation_adding_ica_sw.F90:24-153 (adding_ica_sw),
 radiation_adding_ica_lw.F90:32-334 (adding_ica_lw,
@@ -6,17 +6,127 @@ calc_fluxes_no_scattering_lw).
 
 Level axis convention: index 0 = top of atmosphere. Arrays are
 ``(ncol, nlev, ng)``; per-column scalars broadcast ``(ncol, 1)``.
-The scans carry ``(ncol, ng)`` states — the vertical recurrence is
-inherently sequential (137 steps) while the (ncol, ng) plane fills the
-TPU vector lanes at every step.
+
+Two implementations of the vertical recurrences:
+
+* ``lax.scan`` — the direct sequential form (137 steps, each a tiny
+  ``(ncol, ng)`` elementwise op).  Used on CPU where golden validation
+  runs and scan-step overhead is negligible.
+* ``associative_scan`` (parallel prefix, default on accelerators) —
+  the adding recurrences are *Möbius/affine* in the carried state: the
+  up-sweep carry (albedo, source) transforms per layer as a linear
+  fractional map, i.e. a projective 3x3 matrix with sparsity pattern
+  [[a,0,b],[p,t,q],[c,0,d]] acting on (albedo, source, 1), and matrix
+  composition is associative; the down-sweeps are affine ``f' = Af+B``.
+  ``jax.lax.associative_scan`` evaluates all 137 levels in ~log2(137)=8
+  full-tensor combines — removing the sequential-loop latency that
+  dominates the solver on TPU.  Each combine renormalizes the
+  projective matrix by its (stays-positive) denominator d = 1 - r2*r1
+  to keep entries O(1) in f32.
 """
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _assoc_enabled() -> bool:
+    """Parallel-prefix recurrences: env override, else on for
+    accelerators, off on CPU (sequential scan matches the reference's
+    operation order for f64 golden validation)."""
+    v = os.environ.get("ECRAD_TPU_ASSOC_SCAN", "auto").lower()
+    if v in ("1", "true", "on", "yes"):
+        return True
+    if v in ("0", "false", "off", "no"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _up_compose(m1, m2):
+    """Compose two up-sweep layer operators: m1 is applied first (the
+    range nearer the surface — associative_scan passes the
+    earlier-in-scan-order range as the first argument, which in the
+    reverse scan is the *lower* range).  Operators are projective
+    matrices [[a,0,b],[p,t,q],[c,0,d]] on homogeneous
+    (albedo, source, 1); normalized so d == 1 (d = 1 - r2*r1 > 0
+    physically)."""
+    a1, b1, c1, p1, t1, q1 = m1
+    a2, b2, c2, p2, t2, q2 = m2
+    d = c2 * b1 + 1.0                    # d2 == d1 == 1 after normalize
+    inv = 1.0 / d
+    a = (a2 * a1 + b2 * c1) * inv
+    b = (a2 * b1 + b2) * inv
+    c = (c2 * a1 + c1) * inv
+    p = (p2 * a1 + t2 * p1 + q2 * c1) * inv
+    t = (t2 * t1) * inv
+    q = (p2 * b1 + t2 * q1 + q2) * inv
+    return (a, b, c, p, t, q)
+
+
+def _up_states_assoc(refl, trans, s_up, s_dn, alb0, src0):
+    """Parallel-prefix evaluation of the up-sweep.
+
+    Args are (nlev, ncol, ng) layer operators and (ncol, ng) initial
+    (surface) state.  Returns (albedo_below, source_below, inv_denom)
+    per layer — the carry *before* applying that layer, exactly what
+    the sequential scan emits — plus the final top-of-atmosphere
+    (albedo_top, source_top).
+
+    Per layer: albedo' = (a*albedo + b)/(c*albedo + 1) with
+    a = trans^2 - refl^2, b = refl, c = -refl, and
+    source' = (p*albedo + t*source + q)/(c*albedo + 1) with
+    p = trans*s_dn - refl*s_up, t = trans, q = s_up
+    (same algebra as the scan step in radiation_adding_ica_lw.F90:32+,
+    cleared of its denominator)."""
+    a = (trans - refl) * (trans + refl)
+    m = (a, refl, -refl, trans * s_dn - refl * s_up, trans, s_up)
+    cum = jax.lax.associative_scan(_up_compose, m, reverse=True, axis=0)
+    # exclusive suffix: state below layer i = inclusive result at i+1;
+    # below the bottom layer it is the initial (surface) state
+    ident = [jnp.broadcast_to(z, alb0.shape)[None]
+             for z in (jnp.ones_like(alb0), jnp.zeros_like(alb0),
+                       jnp.zeros_like(alb0), jnp.zeros_like(alb0),
+                       jnp.ones_like(alb0), jnp.zeros_like(alb0))]
+    a_e, b_e, c_e, p_e, t_e, q_e = [
+        jnp.concatenate([x[1:], i0], axis=0) for x, i0 in zip(cum, ident)]
+    inv0 = 1.0 / (c_e * alb0 + 1.0)
+    albedo_below = (a_e * alb0 + b_e) * inv0
+    source_below = (p_e * alb0 + t_e * src0 + q_e) * inv0
+    inv_denom = 1.0 / (1.0 - albedo_below * refl)
+    # top state from the full (inclusive) composition at index 0
+    a_t, b_t, c_t, p_t, t_t, q_t = [x[0] for x in cum]
+    invt = 1.0 / (c_t * alb0 + 1.0)
+    albedo_top = (a_t * alb0 + b_t) * invt
+    source_top = (p_t * alb0 + t_t * src0 + q_t) * invt
+    return (albedo_below, source_below, inv_denom, albedo_top, source_top)
+
+
+def _affine_compose(c1, c2):
+    """Affine composition with c1 applied first: (A2*A1, A2*B1 + B2).
+    Works for both scan directions — associative_scan always passes the
+    earlier-in-scan-order (= applied-first) range as the first arg."""
+    a1, b1 = c1
+    a2, b2 = c2
+    return (a2 * a1, a2 * b1 + b2)
+
+
+def _dn_levels_assoc(A, B, f0):
+    """Parallel prefix for f[i+1] = A[i] f[i] + B[i] from the top:
+    returns f at half-levels 1..nlev, shape (nlev, ncol, ng)."""
+    cumA, cumB = jax.lax.associative_scan(_affine_compose, (A, B), axis=0)
+    return cumA * f0 + cumB
+
+
+def _up_levels_affine_assoc(A, B, f0):
+    """Parallel prefix for f[i] = A[i] f[i+1] + B[i] from the surface
+    (f[nlev] = f0): returns f at half-levels 0..nlev-1."""
+    cumA, cumB = jax.lax.associative_scan(_affine_compose, (A, B), axis=0,
+                                          reverse=True)
+    return cumA * f0 + cumB
 
 
 class SwAdding(NamedTuple):
@@ -51,6 +161,153 @@ def _project(y, spec_matrix):
     return bb, y @ spec_matrix
 
 
+def _stack_top(top, levels):
+    """[top (ncol,...)] + levels (nlev, ncol, ...) → (ncol, nlev+1, ...)."""
+    prof = jnp.concatenate([top[None], levels], axis=0)
+    return jnp.moveaxis(prof, 0, 1)
+
+
+def _stack_bot(levels, bottom):
+    prof = jnp.concatenate([levels, bottom[None]], axis=0)
+    return jnp.moveaxis(prof, 0, 1)
+
+
+def _project_levels(y, spec_matrix):
+    """Project (nlev, ncol, ng) level planes to broadband (nlev, ncol)
+    and optionally (nlev, ncol, nspec)."""
+    bb = jnp.sum(y, axis=-1)
+    if spec_matrix is None:
+        return bb, None
+    return bb, y @ spec_matrix
+
+
+def _adding_sw_reduced_assoc(incoming_toa, albedo_surf_diffuse,
+                             albedo_surf_direct, cos_sza, reflectance,
+                             transmittance, ref_dir, trans_dir_diff,
+                             trans_dir_dir, spec_matrix) -> SwAdding:
+    """Parallel-prefix form of adding_sw_reduced (same recurrences as
+    radiation_adding_ica_sw.F90:24-153, evaluated in log2(nlev) combines
+    — see module docstring)."""
+    lev = lambda a: jnp.moveaxis(a, -2, 0)       # (nlev, ncol, ng)
+    refl, trans = lev(reflectance), lev(transmittance)
+    rdir, tdirdiff = lev(ref_dir), lev(trans_dir_diff)
+
+    # 1) direct beam: cumulative product of per-layer transmissions
+    fdir_below = jnp.cumprod(lev(trans_dir_dir), axis=0) \
+        * incoming_toa[None]                      # levels 1..nlev
+    fdir_surf = fdir_below[-1]
+    fdir_top_levels = jnp.concatenate(
+        [incoming_toa[None], fdir_below[:-1]], axis=0)
+
+    # 2) up sweep (Möbius prefix)
+    alb0 = jnp.broadcast_to(albedo_surf_diffuse, incoming_toa.shape)
+    src0 = albedo_surf_direct * fdir_surf * cos_sza
+    s_up = rdir * fdir_top_levels
+    s_dn = tdirdiff * fdir_top_levels
+    albedo_below, source_below, inv_denom, _, source_top = \
+        _up_states_assoc(refl, trans, s_up, s_dn, alb0, src0)
+
+    # 3) down sweep (affine prefix), fluxes at levels 1..nlev
+    A = trans * inv_denom
+    Bv = (refl * source_below + tdirdiff * fdir_top_levels) * inv_denom
+    fdn_levels = _dn_levels_assoc(A, Bv, jnp.zeros_like(incoming_toa))
+    fup_levels = albedo_below * fdn_levels + source_below
+    fdn_surf = fdn_levels[-1]
+
+    dn_bb, dn_sp = _project_levels(fdn_levels, spec_matrix)
+    up_bb, up_sp = _project_levels(fup_levels, spec_matrix)
+    fdir_bb, fdir_sp = _project_levels(fdir_below, spec_matrix)
+
+    mu0 = cos_sza
+    mu0_bb = mu0[..., 0] if mu0.ndim == 2 else mu0
+    up_toa_bb, up_toa_sp = _project(source_top, spec_matrix)
+    dir_toa_bb, dir_toa_sp = _project(incoming_toa, spec_matrix)
+    zeros_bb = jnp.zeros_like(up_toa_bb)
+
+    out = SwAdding(
+        up=_stack_top(up_toa_bb, up_bb),
+        dn_diffuse=_stack_top(zeros_bb, dn_bb),
+        dn_direct=_stack_top(dir_toa_bb, fdir_bb) * mu0_bb[:, None],
+        up_toa_g=source_top,
+        dn_diffuse_surf_g=fdn_surf,
+        dn_direct_surf_g=fdir_surf * mu0,
+    )
+    if spec_matrix is not None:
+        out = out._replace(
+            up_s=_stack_top(up_toa_sp, up_sp),
+            dn_diffuse_s=_stack_top(jnp.zeros_like(up_toa_sp), dn_sp),
+            dn_direct_s=(_stack_top(dir_toa_sp, fdir_sp)
+                         * mu0_bb[:, None, None]))
+    return out
+
+
+def _adding_lw_reduced_assoc(reflectance, transmittance, source_up,
+                             source_dn, emission_surf, albedo_surf,
+                             spec_matrix) -> LwAdding:
+    """Parallel-prefix form of adding_lw_reduced
+    (radiation_adding_ica_lw.F90:32-134 recurrences)."""
+    lev = lambda a: jnp.moveaxis(a, -2, 0)
+    refl, trans = lev(reflectance), lev(transmittance)
+    s_up, s_dn = lev(source_up), lev(source_dn)
+    alb0 = jnp.broadcast_to(albedo_surf, emission_surf.shape)
+
+    albedo_below, source_below, inv_denom, _, source_top = \
+        _up_states_assoc(refl, trans, s_up, s_dn, alb0, emission_surf)
+
+    A = trans * inv_denom
+    Bv = (refl * source_below + s_dn) * inv_denom
+    fdn_levels = _dn_levels_assoc(A, Bv, jnp.zeros_like(emission_surf))
+    fup_levels = albedo_below * fdn_levels + source_below
+    fdn_surf = fdn_levels[-1]
+    fup_surf_g = alb0 * fdn_surf + emission_surf
+
+    dn_bb, dn_sp = _project_levels(fdn_levels, spec_matrix)
+    up_bb, up_sp = _project_levels(fup_levels, spec_matrix)
+    up_toa_bb, up_toa_sp = _project(source_top, spec_matrix)
+
+    out = LwAdding(
+        up=_stack_top(up_toa_bb, up_bb),
+        dn=_stack_top(jnp.zeros_like(up_toa_bb), dn_bb),
+        up_toa_g=source_top, dn_surf_g=fdn_surf, up_surf_g=fup_surf_g)
+    if spec_matrix is not None:
+        out = out._replace(
+            up_s=_stack_top(up_toa_sp, up_sp),
+            dn_s=_stack_top(jnp.zeros_like(up_toa_sp), dn_sp))
+    return out
+
+
+def _lw_no_scattering_reduced_assoc(transmittance, source_up, source_dn,
+                                    emission_surf, albedo_surf,
+                                    spec_matrix) -> LwAdding:
+    """Parallel-prefix form of lw_no_scattering_reduced
+    (radiation_adding_ica_lw.F90:272-334): both sweeps are affine."""
+    lev = lambda a: jnp.moveaxis(a, -2, 0)
+    trans = lev(transmittance)
+    s_up, s_dn = lev(source_up), lev(source_dn)
+    alb0 = jnp.broadcast_to(albedo_surf, emission_surf.shape)
+
+    fdn_levels = _dn_levels_assoc(trans, s_dn,
+                                  jnp.zeros_like(emission_surf))
+    fdn_surf = fdn_levels[-1]
+    fup_surf = emission_surf + alb0 * fdn_surf
+    fup_levels = _up_levels_affine_assoc(trans, s_up, fup_surf)
+
+    dn_bb, dn_sp = _project_levels(fdn_levels, spec_matrix)
+    up_bb, up_sp = _project_levels(fup_levels, spec_matrix)
+    surf_up_bb, surf_up_sp = _project(fup_surf, spec_matrix)
+    zeros_bb = jnp.zeros_like(surf_up_bb)
+
+    out = LwAdding(
+        up=_stack_bot(up_bb, surf_up_bb),
+        dn=_stack_top(zeros_bb, dn_bb),
+        up_toa_g=fup_levels[0], dn_surf_g=fdn_surf, up_surf_g=fup_surf)
+    if spec_matrix is not None:
+        out = out._replace(up_s=_stack_bot(up_sp, surf_up_sp),
+                           dn_s=_stack_top(jnp.zeros_like(surf_up_sp),
+                                           dn_sp))
+    return out
+
+
 def adding_sw_reduced(incoming_toa, albedo_surf_diffuse, albedo_surf_direct,
                       cos_sza, reflectance, transmittance, ref_dir,
                       trans_dir_diff, trans_dir_dir, spec_matrix=None
@@ -66,6 +323,11 @@ def adding_sw_reduced(incoming_toa, albedo_surf_diffuse, albedo_surf_direct,
     Boundary (surface/TOA) fluxes stay g-resolved for the spectral
     diagnostics.
     """
+    if _assoc_enabled():
+        return _adding_sw_reduced_assoc(
+            incoming_toa, albedo_surf_diffuse, albedo_surf_direct,
+            cos_sza, reflectance, transmittance, ref_dir, trans_dir_diff,
+            trans_dir_dir, spec_matrix)
     lev = lambda a: jnp.moveaxis(a, -2, 0)       # (nlev, ncol, ng)
 
     # 1) Direct-beam cumulative transmission downward
@@ -148,6 +410,10 @@ def adding_lw_reduced(reflectance, transmittance, source_up, source_dn,
                       ) -> LwAdding:
     """LW adding (scattering) with on-the-fly spectral reduction
     (recurrences of radiation_adding_ica_lw.F90:32-134)."""
+    if _assoc_enabled():
+        return _adding_lw_reduced_assoc(
+            reflectance, transmittance, source_up, source_dn,
+            emission_surf, albedo_surf, spec_matrix)
     lev = lambda a: jnp.moveaxis(a, -2, 0)
     albedo_surf = jnp.broadcast_to(albedo_surf, emission_surf.shape)
 
@@ -201,6 +467,10 @@ def lw_no_scattering_reduced(transmittance, source_up, source_dn,
                              ) -> LwAdding:
     """No-scattering LW recurrences with on-the-fly spectral reduction
     (radiation_adding_ica_lw.F90:272-334)."""
+    if _assoc_enabled():
+        return _lw_no_scattering_reduced_assoc(
+            transmittance, source_up, source_dn, emission_surf,
+            albedo_surf, spec_matrix)
     lev = lambda a: jnp.moveaxis(a, -2, 0)
     albedo_surf = jnp.broadcast_to(albedo_surf, emission_surf.shape)
 

@@ -87,6 +87,58 @@ def main():
     t, _ = timeit(op_fn, cloud_s, aerosol, kw)
     rows.append(("optical_properties (gas+aerosol+cloud optics)", t - rtt))
 
+    # 2a-2d) sub-stages of optical_properties
+    from ecrad_tpu import constants
+    from ecrad_tpu.optics import aerosol as aerosol_mod
+    from ecrad_tpu.optics import cloud as cloud_optics_mod
+    from ecrad_tpu.optics import rrtmg
+
+    gdict_of = lambda gm: {
+        name: gm[:, :, constants.GAS_INDEX[name]]
+        for name in ("h2o", "co2", "ch4", "n2o", "cfc11", "cfc12",
+                     "hcfc22", "ccl4", "o3")}
+
+    def gas_fn(do_lw, do_sw):
+        def f(k):
+            r = rrtmg.gas_optics(
+                tables.gas["rrtmg"], k["pressure_hl"],
+                k["temperature_hl"], gdict_of(k["gas_mmr"]),
+                cos_sza=k["cos_sza"], do_lw=do_lw, do_sw=do_sw,
+                skin_temperature=k["skin_temperature"],
+                solar_irradiance=step.solar,
+                min_gas_od_lw=config.min_gas_od_lw,
+                min_gas_od_sw=config.min_gas_od_sw)
+            return reduce_scalar(r._asdict())
+        return jax.jit(f)
+
+    t, _ = timeit(gas_fn(True, False), kw)
+    rows.append(("  rrtmg gas_optics LW (taumol+planck, 140 g)", t - rtt))
+    t, _ = timeit(gas_fn(False, True), kw)
+    rows.append(("  rrtmg gas_optics SW (taumol, 112 g)", t - rtt))
+
+    def aer_fn(k, a):
+        p_fl = 0.5 * (k["pressure_hl"][:, :-1] + k["pressure_hl"][:, 1:])
+        t_fl = 0.5 * (k["temperature_hl"][:, :-1]
+                      + k["temperature_hl"][:, 1:])
+        h2o_mmr = k["gas_mmr"][:, :, constants.GAS_INDEX["h2o"]]
+        rh = h2o_mmr / aerosol_mod.h2o_sat_liq(p_fl, t_fl)
+        aer = aerosol_mod.aerosol_band_properties(
+            config, tables.aerosol, k["pressure_hl"],
+            a["mixing_ratio"], rh)
+        return reduce_scalar(aer)
+
+    t, _ = timeit(jax.jit(aer_fn), kw, aerosol)
+    rows.append(("  aerosol band properties (RH-dependent)", t - rtt))
+
+    def cld_fn(k, cl):
+        return reduce_scalar(cloud_optics_mod.cloud_optics(
+            config, tables.cloud, k["pressure_hl"], k["temperature_hl"],
+            cl["fraction"], cl["q_liq"], cl["q_ice"], cl["re_liq"],
+            cl["re_ice"]))
+
+    t, _ = timeit(jax.jit(cld_fn), kw, cloud_s)
+    rows.append(("  cloud optics (liquid+ice LUT, per band)", t - rtt))
+
     op = jax.jit(lambda c, a, k: _optical_properties(
         config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
         **k))(cloud_s, aerosol, kw)
