@@ -26,8 +26,12 @@ ARG_NAMES = ["pressure_hl", "temperature_hl", "gas_mmr", "cos_sza",
 
 
 def _run(solver_name, inputs, step):
-    config = step.config._replace(
+    config = step.config.replace(
         sw_solver=Solver[solver_name], lw_solver=Solver[solver_name],
+        # derived flag normally set by setup_radiation
+        # (radiation_config.F90:1351-1356): homogeneous solvers take
+        # gridbox-mean (not in-cloud) water in cloud optics
+        is_homogeneous=(solver_name == "HOMOGENEOUS"),
         overlap_scheme=step.config.overlap_scheme)
     kw = dict(inputs)
     cloud = dict(kw.pop("cloud"))
