@@ -29,7 +29,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_COLS_PER_SEC = 268.0   # ecRad reference log (BASELINE.md)
+BASELINE_COLS_PER_SEC = 268.0   # ecRad reference log (BASELINE.md),
+                                # single-threaded anchor (one 32-col block)
+TARGET_COLS_PER_SEC = 43000.0   # 5 x est. 32-core node (268*32*5)
 
 
 def main():
@@ -78,17 +80,28 @@ def main():
         float(np.asarray(fn(jnp.int32(i + 1), args)))
         times.append(time.time() - t0)
     t_best = min(times)
+    t_median = sorted(times)[len(times) // 2]
 
     cols_per_sec = ncol / max(t_best - rtt, 1e-9)
+    cols_per_sec_med = ncol / max(t_median - rtt, 1e-9)
     result = {
         "metric": "columns_per_second_per_chip",
         "value": round(cols_per_sec, 1),
         "unit": "cols/s (RRTMG McICA SW+LW, 137 levels, f32)",
-        "vs_baseline": round(cols_per_sec / BASELINE_COLS_PER_SEC, 2),
+        # committed target (BASELINE.md): >=5x a 32-core CPU node.  The
+        # 268 cols/s reference-log anchor is effectively single-threaded
+        # (32 cols, nblocksize=80 => one OpenMP block); a 32-core node
+        # is therefore estimated at ~268*32 ≈ 8.6k cols/s, so the
+        # target denominator is 5 * 8.6k ≈ 43k cols/s/chip.
+        "vs_baseline": round(cols_per_sec / TARGET_COLS_PER_SEC, 3),
+        "vs_target": round(cols_per_sec / TARGET_COLS_PER_SEC, 3),
+        "vs_1core_anchor": round(cols_per_sec / BASELINE_COLS_PER_SEC, 1),
+        "median_cols_per_sec": round(cols_per_sec_med, 1),
+        "compile_seconds": round(compile_t, 1),
     }
     print(json.dumps(result))
-    print(f"# ncol={ncol} t_best={t_best:.4f}s rtt={rtt:.4f}s "
-          f"compile={compile_t:.1f}s checksum={v:.6g} "
+    print(f"# ncol={ncol} t_best={t_best:.4f}s t_median={t_median:.4f}s "
+          f"rtt={rtt:.4f}s compile={compile_t:.1f}s checksum={v:.6g} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 

@@ -105,7 +105,10 @@ def check_fluxes(flux, pressure_hl, out=sys.stderr):
                   file=out)
             any_bad = True
     phl = np.asarray(pressure_hl)
-    dp = np.maximum(phl[:, 1:] - phl[:, :-1], 1.0)
+    # signed Δp so both level orders (TOA-first and surface-first) give
+    # the correct heating-rate sign; guard |Δp| >= 1 Pa
+    dp = phl[:, 1:] - phl[:, :-1]
+    dp = np.sign(dp) * np.maximum(np.abs(dp), 1.0)
     for name, lo, hi in (("sw", 0.0, 200.0), ("lw", -500.0, 500.0)):
         up = getattr(flux, f"{name}_up", None)
         dn = getattr(flux, f"{name}_dn", None)

@@ -215,6 +215,13 @@ class Config:
     use_aerosols: bool = False
     n_aerosol_types: int = 0
     i_aerosol_type_map: Tuple[int, ...] = ()
+    # Name-based aerosol selection (resolved against the optics file's
+    # metadata registry at setup, optics/aerosol_description.py;
+    # reference: radiation_aerosol_optics_description.F90).  Entries
+    # like "DD,bin=2,phobic"; non-empty overrides i_aerosol_type_map.
+    aerosol_type_name: Tuple[str, ...] = ()
+    # "CODE:model" preferences, e.g. "DD:Fouquart"
+    aerosol_preferred_optical_model: Tuple[str, ...] = ()
 
     # --- surface mapping
     do_nearest_spectral_sw_albedo: bool = False
@@ -409,6 +416,12 @@ class Config:
 
         if "i_aerosol_type_map" in nml:
             kw["i_aerosol_type_map"] = as_tuple(nml["i_aerosol_type_map"], int)
+        if "aerosol_type_name" in nml:
+            kw["aerosol_type_name"] = as_tuple(nml["aerosol_type_name"],
+                                               str)
+        if "aerosol_preferred_optical_model" in nml:
+            kw["aerosol_preferred_optical_model"] = as_tuple(
+                nml["aerosol_preferred_optical_model"], str)
         if "cloud_type_name" in nml:
             kw["cloud_type_name"] = as_tuple(nml["cloud_type_name"], str)
         if "use_thick_cloud_spectral_averaging" in nml:

@@ -251,6 +251,14 @@ def run(config_path: str, input_path: str, output_path: str,
         flux = flux.replace(**rep)
         out_phl = out_phl[:, ::-1]
 
+    # Post-run output validation (ecrad_driver.F90:395
+    # flux%out_of_physical_bounds / heating_rate_out_of_physical_bounds,
+    # radiation_flux.F90:117): report non-finite fluxes and out-of-range
+    # heating rates to stderr; the run still completes, as in the
+    # reference (warn-only).
+    from ecrad_tpu.check import check_fluxes
+    check_fluxes(flux, out_phl)
+
     if driver_config.do_save_net_fluxes:
         save_net_fluxes(output_path, config, flux, out_phl,
                         experiment_name=driver_config.experiment_name,

@@ -266,6 +266,28 @@ def setup_radiation(config: Config, data_dir: str = None):
             pdf_tables["cheb_fit"] = fit_pdf_cheb(pdf_tables)
 
     aerosol_tables = None
+    if config.use_aerosols and config.aerosol_type_name:
+        # resolve name-based selection against the optics file's
+        # metadata registry (radiation_aerosol_optics_description.F90)
+        from ecrad_tpu.data import find_data_file
+        from ecrad_tpu.optics.aerosol_description import \
+            resolve_aerosol_type_names
+        ddir = data_dir or config.directory_name
+        if config.aerosol_optics_override_file_name:
+            aer_path = find_data_file(
+                ddir, config.aerosol_optics_override_file_name)
+        elif config.use_general_aerosol_optics:
+            aer_path = find_data_file(ddir, "aerosol_ifs_49R1_20230119.nc")
+        else:
+            aer_path = find_data_file(ddir,
+                                      "aerosol_ifs_rrtm_46R1_with_NI_AM.nc")
+        kw["i_aerosol_type_map"] = resolve_aerosol_type_names(
+            config.aerosol_type_name, aer_path,
+            config.aerosol_preferred_optical_model)
+        kw["n_aerosol_types"] = len(kw["i_aerosol_type_map"])
+        config = config.replace(
+            i_aerosol_type_map=kw["i_aerosol_type_map"],
+            n_aerosol_types=kw["n_aerosol_types"])
     if config.use_aerosols and config.n_aerosol_types > 0:
         ddir = data_dir or config.directory_name
         aerosol_tables = aerosol_mod.setup_aerosol_optics(

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ecrad_tpu.config import Config
+from ecrad_tpu.optics.rrtmg_interp import take_bands
 from ecrad_tpu.constants import ACCEL_GRAVITY
 from ecrad_tpu.optics import spectral
 
@@ -286,6 +287,30 @@ def aerosol_band_properties(config: Config, tables: Dict, pressure_hl,
     scat_lw = jnp.zeros(shape_lw, factor.dtype)
     scatg_lw = jnp.zeros(shape_lw, factor.dtype)
 
+    philic = None
+    if tables["use_hydrophilic"]:
+        # One fused RH-bin lookup for every (property, type) pair: the
+        # per-type jnp.take gathers each lowered to a slow TPU gather
+        # (~25 ms/step at ncol=2048); packed into a single (nrh, ·)
+        # matrix they become one one-hot MXU product.
+        from ecrad_tpu.optics.rrtmg_interp import weighted_take
+        _keys = ("mass_ext_sw_philic", "ssa_sw_philic", "g_sw_philic",
+                 "mass_ext_lw_philic", "ssa_lw_philic", "g_lw_philic")
+        mats, spans, off = [], {}, 0
+        for k in _keys:
+            t = np.asarray(tables[k])               # (nband, ntype, nrh)
+            nb = t.shape[0]
+            for it in range(t.shape[1]):
+                mats.append(t[:, it, :].T)          # (nrh, nband)
+                spans[(k, it)] = (off, off + nb)
+                off += nb
+        philic_all = weighted_take(np.concatenate(mats, axis=1),
+                                   [(irh, None)])
+
+        def philic(key, itype):
+            a, b = spans[(key, itype)]
+            return philic_all[..., a:b]
+
     for jtype, mapping in enumerate(config.i_aerosol_type_map):
         if jtype >= aerosol_mmr.shape[-1] or mapping == 0:
             continue
@@ -302,21 +327,13 @@ def aerosol_band_properties(config: Config, tables: Dict, pressure_hl,
             lod_lw = mr[..., None] * me_lw
         else:
             itype = -mapping - 1
-            # philic tables: (nband, ntype, nrh) → gather rh per (col,lev)
-            me_sw = jnp.asarray(
-                tables["mass_ext_sw_philic"][:, itype, :])   # (nband, nrh)
-            ss_sw = jnp.asarray(tables["ssa_sw_philic"][:, itype, :])
-            gg_sw = jnp.asarray(tables["g_sw_philic"][:, itype, :])
-            me_lw = jnp.asarray(tables["mass_ext_lw_philic"][:, itype, :])
-            ss_lw = jnp.asarray(tables["ssa_lw_philic"][:, itype, :])
-            gg_lw = jnp.asarray(tables["g_lw_philic"][:, itype, :])
-            # gather: me_sw.T[irh] → (ncol, nlev, nband)
-            me_sw = jnp.take(me_sw.T, irh, axis=0)
-            ss_sw = jnp.take(ss_sw.T, irh, axis=0)
-            gg_sw = jnp.take(gg_sw.T, irh, axis=0)
-            me_lw = jnp.take(me_lw.T, irh, axis=0)
-            ss_lw = jnp.take(ss_lw.T, irh, axis=0)
-            gg_lw = jnp.take(gg_lw.T, irh, axis=0)
+            # philic tables: batched RH-bin lookup (see philic above)
+            me_sw = philic("mass_ext_sw_philic", itype)
+            ss_sw = philic("ssa_sw_philic", itype)
+            gg_sw = philic("g_sw_philic", itype)
+            me_lw = philic("mass_ext_lw_philic", itype)
+            ss_lw = philic("ssa_lw_philic", itype)
+            gg_lw = philic("g_lw_philic", itype)
             lod_sw = mr[..., None] * me_sw
             lod_lw = mr[..., None] * me_lw
         od_sw = od_sw + lod_sw
@@ -354,9 +371,9 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     if not config.do_sw_delta_scaling_with_gases:
         od_a, scat_a, scatg_a = delta_eddington_extensive(
             od_a, scat_a, scatg_a)
-    od_a_g = jnp.take(od_a, bsw, axis=-1)
-    scat_a_g = jnp.take(scat_a, bsw, axis=-1)
-    scatg_a_g = jnp.take(scatg_a, bsw, axis=-1)
+    od_a_g = take_bands(od_a, bsw)
+    scat_a_g = take_bands(scat_a, bsw)
+    scatg_a_g = take_bands(scatg_a, bsw)
     if config.do_cloud_aerosol_per_sw_g_point:
         # per-g-point merge (radiation_aerosol_optics.F90:668-676)
         local_scat = ssa_sw * od_sw + scat_a_g
@@ -379,9 +396,9 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     if config.do_lw_aerosol_scattering:
         od_a, scat_a, scatg_a = delta_eddington_extensive(
             aer["od_lw"], aer["scat_lw"], aer["scatg_lw"])
-        od_a_g = jnp.take(od_a, blw, axis=-1)
-        scat_a_g = jnp.take(scat_a, blw, axis=-1)
-        scatg_a_g = jnp.take(scatg_a, blw, axis=-1)
+        od_a_g = take_bands(od_a, blw)
+        scat_a_g = take_bands(scat_a, blw)
+        scatg_a_g = take_bands(scatg_a, blw)
         local_od = od_lw + od_a_g
         apply = (local_od > 0.0) & (od_a_g > 0.0)
         new_g = jnp.where(scat_a_g > 0.0,
@@ -393,6 +410,6 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     else:
         # absorption-only LW aerosol (radiation_aerosol_optics.F90:751-768)
         od_abs = aer["od_lw"] - aer["scat_lw"]
-        od_lw = od_lw + jnp.take(od_abs, blw, axis=-1)
+        od_lw = od_lw + take_bands(od_abs, blw)
 
     return od_sw, ssa_sw, g_sw, od_lw, ssa_lw, g_lw

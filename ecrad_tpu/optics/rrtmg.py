@@ -115,7 +115,8 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
         planck_bands_hl = _planck_store(tables["totplnk"],
                                         tables["delwave"],
                                         temperature_hl)  # (ncol,nlev+1,16)
-        planck_g_hl = jnp.take(planck_bands_hl, band_from_g, axis=-1)
+        from ecrad_tpu.optics.rrtmg_interp import take_bands
+        planck_g_hl = take_bands(planck_bands_hl, band_from_g)
         pfrac_hl = jnp.concatenate([pfrac[:, :1], pfrac], axis=1)
         out["planck_hl"] = planck_g_hl * pfrac_hl
 
@@ -123,8 +124,7 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
             planck_bands_surf = _planck_store(tables["totplnk"],
                                               tables["delwave"],
                                               skin_temperature)
-            planck_g_surf = jnp.take(planck_bands_surf, band_from_g,
-                                     axis=-1)
+            planck_g_surf = take_bands(planck_bands_surf, band_from_g)
             # PFRAC of the lowest model layer (radiation_ifs_rrtm.F90:453)
             out["lw_emission"] = planck_g_surf * pfrac[:, -1]
 

@@ -93,6 +93,74 @@ def _take2(table, idx):
     return jnp.take(table, idx, axis=0)
 
 
+def take_bands(x, band_from_g):
+    """Expand per-band values to per-g: x (..., nband) → (..., ng) with
+    static indices band_from_g (ng,).
+
+    On TPU even a *static* minor-axis gather lowers to a slow custom
+    fusion (~2 ms per instance at ncol=2048); as a constant 0/1 matrix
+    product it rides the MXU and fuses with neighbours.  Exact: one-hot
+    columns select single entries (0/1 and the selected value are
+    representable in every MXU pass).  CPU keeps the gather (exact f64
+    golden path)."""
+    if jax.default_backend() == "cpu":
+        return jnp.take(x, band_from_g, axis=-1)
+    nband = x.shape[-1]
+    bfg = jnp.asarray(band_from_g)
+    mat = (bfg[None, :] == jnp.arange(nband)[:, None]).astype(x.dtype)
+    out = jnp.dot(x.reshape(-1, nband), mat,
+                  preferred_element_type=x.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(x.shape[:-1] + (bfg.shape[0],))
+
+
+# --- band batching ---------------------------------------------------------
+#
+# The one-hot MXU formulation of weighted_take costs N * nrows * ng MACs
+# regardless of how many (idx, weight) pairs share the product, and the
+# MXU wants >=128 output lanes.  Per-band calls produce 2-16-lane outputs
+# (measured 5.3 TFLOP/s at ncol=2048).  But the *indices and weights* of
+# most interpolations are band-independent (jp/jt/fac from pressure and
+# temperature only; indself/indfor/indminor likewise; the eta index js
+# only depends on the gas-pair ratio).  Grouping the tables of all bands
+# that share an index set along the g axis turns ~100 narrow matmuls
+# into ~10 wide ones with identical results.
+
+class BatchedTake:
+    """Accumulate (key, table(nrows, ngb)) entries that share one
+    weighted_take index/weight set; evaluate once; serve per-key slices."""
+
+    def __init__(self):
+        self._tabs = []       # list of (key, np table)
+        self._out = None
+
+    def add(self, key, table):
+        self._tabs.append((key, np.asarray(table)))
+
+    def keys(self):
+        return [k for k, _ in self._tabs]
+
+    def run(self, fn):
+        """fn(table) -> (..., sum_ng); then get(key) serves slices."""
+        if not self._tabs:
+            self._out = {}
+            return
+        table = np.concatenate([t for _, t in self._tabs], axis=-1)
+        out = fn(table)
+        self._out = {}
+        start = 0
+        for k, t in self._tabs:
+            w = t.shape[-1]
+            self._out[k] = out[..., start:start + w]
+            start += w
+
+    def get(self, key):
+        return self._out[key]
+
+    def __contains__(self, key):
+        return any(k == key for k, _ in self._tabs)
+
+
 def major_1(table, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset=0):
     """1-key-species major absorption (e.g. rrtm_taumol1.F90:202-236).
 

@@ -85,20 +85,123 @@ def _where_g(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+# Which binary-species ratio each 2-key band interpolates on (the
+# rrtm_taumol*.F90 headers); bands sharing a ratio share the eta index
+# js/fs exactly, so their lower-atmosphere tables are batched into one
+# weighted_take (see rrtmg_interp.BatchedTake).
+_M2_GROUP = {3: "h2oco2", 4: "h2oco2", 5: "h2oco2", 12: "h2oco2",
+             7: "h2oo3", 9: "h2och4", 16: "h2och4", 13: "h2on2o",
+             15: "n2oco2"}
+
+# 1-key-species major bands (lower; upper)
+_M1_LOWER = (1, 2, 6, 8, 10, 11, 14)
+_M1_UPPER = (1, 2, 7, 8, 9, 10, 11, 14, 16)
+
+# 1-D minor-gas tables used via minor_1 (all call sites use scale=1)
+_MINOR1 = ((1, "ka_mn2"), (1, "kb_mn2"), (6, "ka_mco2"), (7, "kb_mco2"),
+           (8, "ka_mco2"), (8, "ka_mo3"), (8, "ka_mn2o"), (8, "kb_mco2"),
+           (8, "kb_mn2o"), (9, "kb_mn2o"), (11, "ka_mo2"), (11, "kb_mo2"),
+           (13, "kb_mo3"))
+
+
+def _rat_args(cols: GasColumns, name):
+    c = cols
+    return {
+        "h2oco2": (c.colh2o, c.colco2, c.rat_h2oco2, c.rat_h2oco2_1),
+        "h2oo3": (c.colh2o, c.colo3, c.rat_h2oo3, c.rat_h2oo3_1),
+        "h2och4": (c.colh2o, c.colch4, c.rat_h2och4, c.rat_h2och4_1),
+        "h2on2o": (c.colh2o, c.coln2o, c.rat_h2on2o, c.rat_h2on2o_1),
+        "n2oco2": (c.coln2o, c.colco2, c.rat_n2oco2, c.rat_n2oco2_1),
+    }[name]
+
+
+def _shared_interp_lw(tables, cols: GasColumns):
+    """Batched band-independent interpolations (see _M2_GROUP note)."""
+    c = cols
+
+    def t(band, key):
+        return tables[f"{band}/{key}"]
+
+    sh = {}
+    b_self = ri.BatchedTake()
+    b_for = ri.BatchedTake()
+    b_min = ri.BatchedTake()
+    b_m1lo = ri.BatchedTake()
+    b_m1hi = ri.BatchedTake()
+    for band in range(1, 17):
+        b_self.add(band, t(band, "selfref"))
+        forref = np.asarray(t(band, "forref"))
+        if forref.shape[0] < 4:
+            # pad with duplicated last row: identical to the per-band
+            # index clip since indfor+1 only reaches the pad row when
+            # indfor is at the clip bound
+            forref = np.concatenate(
+                [forref] + [forref[-1:]] * (4 - forref.shape[0]), axis=0)
+        b_for.add(band, forref)
+    for band, key in _MINOR1:
+        b_min.add((band, key), t(band, key))
+    for band in _M1_LOWER:
+        b_m1lo.add(band, t(band, "ka"))
+    for band in _M1_UPPER:
+        b_m1hi.add(band, t(band, "kb"))
+
+    # self/foreign continua, unscaled (callers multiply by colh2o)
+    w1 = c.selffac * c.selffrac
+    b_self.run(lambda tab: ri.weighted_take(
+        tab.reshape(-1, tab.shape[-1]),
+        [(c.indself, c.selffac - w1), (c.indself + 1, w1)]))
+    w1f = c.forfac * c.forfrac
+    b_for.run(lambda tab: ri.weighted_take(
+        tab.reshape(-1, tab.shape[-1]),
+        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)]))
+    b_min.run(lambda tab: ri.minor_1(
+        tab.reshape(-1, tab.shape[-1]), jnp.ones_like(c.minorfrac),
+        c.minorfrac, c.indminor))
+    b_m1lo.run(lambda tab: ri.major_1(
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11))
+    b_m1hi.run(lambda tab: ri.major_1(
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
+        jp_offset=12))
+
+    m2lo = {}
+    for name in set(_M2_GROUP.values()):
+        bt = ri.BatchedTake()
+        for band, g in _M2_GROUP.items():
+            if g == name:
+                bt.add(band, t(band, "ka"))
+        col1, col2, rat0, rat1 = _rat_args(cols, name)
+        sc0, sp0, js0, fs0 = ri.spec_setup(8, col1, col2, rat0)
+        sc1, sp1, js1, fs1 = ri.spec_setup(8, col1, col2, rat1)
+        bt.run(lambda tab: ri.major_2(
+            tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
+            sc0, sp0, js0, fs0, sc1, sp1, js1, fs1, eta_edges=True))
+        m2lo[name] = bt
+
+    sh["self"] = b_self
+    sh["for"] = b_for
+    sh["minor1"] = b_min
+    sh["m1lo"] = b_m1lo
+    sh["m1hi"] = b_m1hi
+    sh["m2lo"] = m2lo
+    return sh
+
+
 class _Band:
     """Holds the per-band tables (as jnp arrays) plus the gas columns."""
 
-    def __init__(self, tables, cols: GasColumns, band: int):
+    def __init__(self, tables, cols: GasColumns, band: int, shared=None):
         self.t = {k.split("/", 1)[1]: v for k, v in tables.items()
                   if k.startswith(f"{band}/")}
         self.chi = tables["chi_mls"]
         self.c = cols
         self.band = band
+        self.sh = shared
 
     def chi_ref(self, species_1b):
         """chi_mls(species, jp+1) gathered per (col,lev) (1-based species,
-        1-based jp+1 == 0-based jp+1 index since jp is 0-based here)."""
-        return jnp.asarray(self.chi[species_1b - 1])[self.c.jp + 1]
+        1-based jp+1 == 0-based jp+1 index since jp is 0-based here) —
+        precomputed in prepare_columns (cols.chi_jp1)."""
+        return self.c.chi_jp1[..., species_1b - 1]
 
     def chi_const(self, species_1b, jp_1b):
         return float(self.chi[species_1b - 1][jp_1b - 1])
@@ -107,6 +210,10 @@ class _Band:
         # LW continuum factors are scaled by colh2o
         # (rrtm_setcoef_140gp.F90:249-251)
         c = self.c
+        if self.sh is not None:
+            h2o = c.colh2o[..., None]
+            return (h2o * self.sh["self"].get(self.band),
+                    h2o * self.sh["for"].get(self.band))
         tself = ri.self_continuum(self.t["selfref"],
                                   c.selffac * c.colh2o, c.selffrac,
                                   c.indself)
@@ -115,18 +222,32 @@ class _Band:
                                     c.indfor)
         return tself, tfor
 
+    def minor1(self, key):
+        """1-D minor-gas absorption coefficient (scale applied by the
+        caller; all rrtm_taumol* minor_1 uses have unit scale)."""
+        if self.sh is not None:
+            return self.sh["minor1"].get((self.band, key))
+        return ri.minor_1(self.t[key], jnp.ones_like(self.c.minorfrac),
+                          self.c.minorfrac, self.c.indminor)
+
     def major_lower_1(self):
         c = self.c
+        if self.sh is not None and self.band in _M1_LOWER:
+            return self.sh["m1lo"].get(self.band)
         return ri.major_1(self.t["ka"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11)
 
     def major_upper_1(self):
         c = self.c
+        if self.sh is not None and self.band in _M1_UPPER:
+            return self.sh["m1hi"].get(self.band)
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12)
 
     def major_lower_2(self, col1, col2, rat0, rat1):
         c = self.c
+        if self.sh is not None and self.band in _M2_GROUP:
+            return self.sh["m2lo"][_M2_GROUP[self.band]].get(self.band)
         sc0, sp0, js0, fs0 = ri.spec_setup(8, col1, col2, rat0)
         sc1, sp1, js1, fs1 = ri.spec_setup(8, col1, col2, rat1)
         return ri.major_2(self.t["ka"], c.jp, c.jt, c.jt1,
@@ -168,11 +289,8 @@ def band1(tb: _Band):
     c = tb.c
     tself, tfor = tb.self_for()
     scalen2 = c.colbrd * c.scaleminorn2
-    taun2_lo = scalen2[..., None] * ri.minor_1(
-        tb.t["ka_mn2"], jnp.ones_like(scalen2), c.minorfrac,
-        c.indminor)
-    taun2_hi = scalen2[..., None] * ri.minor_1(
-        tb.t["kb_mn2"], jnp.ones_like(scalen2), c.minorfrac, c.indminor)
+    taun2_lo = scalen2[..., None] * tb.minor1("ka_mn2")
+    taun2_hi = scalen2[..., None] * tb.minor1("kb_mn2")
     corradj_lo = jnp.where(c.pavel < 250.0,
                            1.0 - 0.15 * (250.0 - c.pavel) / 154.4, 1.0)
     corradj_hi = 1.0 - 0.15 * (c.pavel / 95.6)
@@ -297,8 +415,7 @@ def band6(tb: _Band):
     tself, tfor = tb.self_for()
     adjcolco2 = _adjusted_column(c.colco2, c.coldry, tb.chi_ref(2),
                                  3.0, 2.0, 0.77)
-    absco2 = ri.minor_1(tb.t["ka_mco2"], jnp.ones_like(c.colco2),
-                        c.minorfrac, c.indminor)
+    absco2 = tb.minor1("ka_mco2")
     tau_cfc = (c.wx_cfc11[..., None] * jnp.asarray(tb.t["cfc11adj"])
                + c.wx_cfc12[..., None] * jnp.asarray(tb.t["cfc12"]))
     tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
@@ -322,8 +439,7 @@ def band7(tb: _Band):
     adj_hi = _adjusted_column(c.colco2, c.coldry, tb.chi_ref(2),
                               3.0, 2.0, 0.79)
     absco2_lo = tb.minor_eta("ka_mco2", c.colh2o, c.colo3, refrat_m_a)
-    absco2_hi = ri.minor_1(tb.t["kb_mco2"], jnp.ones_like(c.colco2),
-                           c.minorfrac, c.indminor)
+    absco2_hi = tb.minor1("kb_mco2")
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.colo3,
                                c.rat_h2oo3, c.rat_h2oo3_1)
@@ -350,11 +466,11 @@ def band8(tb: _Band):
     adjcolco2 = _adjusted_column(c.colco2, c.coldry, tb.chi_ref(2),
                                  3.0, 2.0, 0.65)
     one = jnp.ones_like(c.colco2)
-    absco2_lo = ri.minor_1(tb.t["ka_mco2"], one, c.minorfrac, c.indminor)
-    abso3_lo = ri.minor_1(tb.t["ka_mo3"], one, c.minorfrac, c.indminor)
-    absn2o_lo = ri.minor_1(tb.t["ka_mn2o"], one, c.minorfrac, c.indminor)
-    absco2_hi = ri.minor_1(tb.t["kb_mco2"], one, c.minorfrac, c.indminor)
-    absn2o_hi = ri.minor_1(tb.t["kb_mn2o"], one, c.minorfrac, c.indminor)
+    absco2_lo = tb.minor1("ka_mco2")
+    abso3_lo = tb.minor1("ka_mo3")
+    absn2o_lo = tb.minor1("ka_mn2o")
+    absco2_hi = tb.minor1("kb_mco2")
+    absn2o_hi = tb.minor1("kb_mn2o")
     tau_cfc = (c.wx_cfc12[..., None] * jnp.asarray(tb.t["cfc12"])
                + c.wx_cfc22[..., None] * jnp.asarray(tb.t["cfc22adj"]))
 
@@ -381,8 +497,7 @@ def band9(tb: _Band):
     adjcoln2o = _adjusted_column(c.coln2o, c.coldry, tb.chi_ref(4),
                                  1.5, 0.5, 0.65)
     absn2o_lo = tb.minor_eta("ka_mn2o", c.colh2o, c.colch4, refrat_m_a)
-    absn2o_hi = ri.minor_1(tb.t["kb_mn2o"], jnp.ones_like(c.coln2o),
-                           c.minorfrac, c.indminor)
+    absn2o_hi = tb.minor1("kb_mn2o")
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.colch4,
                                c.rat_h2och4, c.rat_h2och4_1)
@@ -414,10 +529,8 @@ def band11(tb: _Band):
     c = tb.c
     tself, tfor = tb.self_for()
     scaleo2 = c.colo2 * c.scaleminor
-    tauo2_lo = scaleo2[..., None] * ri.minor_1(
-        tb.t["ka_mo2"], jnp.ones_like(scaleo2), c.minorfrac, c.indminor)
-    tauo2_hi = scaleo2[..., None] * ri.minor_1(
-        tb.t["kb_mo2"], jnp.ones_like(scaleo2), c.minorfrac, c.indminor)
+    tauo2_lo = scaleo2[..., None] * tb.minor1("ka_mo2")
+    tauo2_hi = scaleo2[..., None] * tb.minor1("kb_mo2")
     tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
               + tauo2_lo)
     tau_hi = (c.colh2o[..., None] * tb.major_upper_1() + tfor + tauo2_hi)
@@ -458,8 +571,7 @@ def band13(tb: _Band):
     absco2 = tb.minor_eta("ka_mco2", c.colh2o, c.coln2o, refrat_m_a)
     # CO column is zero in the IFS configuration (taumol13.F90:91,125) —
     # the KA_MCO term therefore vanishes and is omitted here.
-    abso3_hi = ri.minor_1(tb.t["kb_mo3"], jnp.ones_like(c.colo3),
-                          c.minorfrac, c.indminor)
+    abso3_hi = tb.minor1("kb_mo3")
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.coln2o,
                                c.rat_h2on2o, c.rat_h2on2o_1)
@@ -529,9 +641,10 @@ def gas_optical_depth_lw(tables: dict, cols: GasColumns):
     Equivalent of ifsrrtm/rrtm_gas_optical_depth.F90 dispatch; output stays
     in top-down level order (no reversal needed downstream).
     """
+    shared = _shared_interp_lw(tables, cols)
     taus, pfracs = [], []
     for b in range(1, 17):
-        tb = _Band(tables, cols, b)
+        tb = _Band(tables, cols, b, shared)
         tau, pfrac = _BAND_FNS[b - 1](tb)
         taus.append(tau)
         pfracs.append(pfrac)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # RRTMG's own conversion constants (rrtm_prepare_gases.F90:85-97).  These
 # deliberately differ in the last digits from radiation_gas_constants.F90 —
@@ -88,6 +89,7 @@ class GasColumns(NamedTuple):
     rat_n2oco2_1: jnp.ndarray
     rat_o3co2: jnp.ndarray
     rat_o3co2_1: jnp.ndarray
+    chi_jp1: jnp.ndarray        # chi_mls profiles at jp+1, (ncol,nlev,7)
 
 
 def prepare_columns(pressure_hl, pressure_fl, temperature_fl,
@@ -149,12 +151,24 @@ def prepare_columns(pressure_hl, pressure_fl, temperature_fl,
 
     jp1b = jnp.clip(jnp.floor(36.0 - 5.0 * (plog + 0.04)).astype(jnp.int32),
                     1, 58)                         # 1-based
-    preflog = jnp.asarray(preflog, dtype)
-    tref = jnp.asarray(tref, dtype)
-    fp = jnp.clip(5.0 * (preflog[jp1b - 1] - plog), -1.0, 1.0)
 
-    tref_jp = tref[jp1b - 1]
-    tref_jp1 = tref[jp1b]       # jp+1 (1-based) → index jp1b
+    # One fused row-gather for every per-jp reference quantity: the
+    # (59,)-row tables preflog/tref and the 7 chi_mls profiles are packed
+    # into a (59, 9) matrix and looked up at jp and jp+1 in two
+    # weighted_take calls (single one-hot MXU products on TPU — the
+    # per-table jnp indexing this replaces lowered to 12 serial gathers,
+    # ~19 ms/step at ncol=2048).
+    from ecrad_tpu.optics.rrtmg_interp import weighted_take
+    refmat = np.concatenate([
+        np.asarray(preflog, dtype)[:, None],
+        np.asarray(tref, dtype)[:, None],
+        np.asarray(chi_mls, dtype).T], axis=1)      # (59, 2 + 7)
+    at_jp = weighted_take(refmat, [(jp1b - 1, None)])
+    at_jp1 = weighted_take(refmat, [(jp1b, None)])
+
+    fp = jnp.clip(5.0 * (at_jp[..., 0] - plog), -1.0, 1.0)
+    tref_jp = at_jp[..., 1]
+    tref_jp1 = at_jp1[..., 1]
     jtb = jnp.clip(jnp.floor(3.0 + (tavel - tref_jp) / 15.0)
                    .astype(jnp.int32), 1, 4)
     ft = (tavel - tref_jp) / 15.0 - (jtb - 3)
@@ -187,12 +201,10 @@ def prepare_columns(pressure_hl, pressure_fl, temperature_fl,
     indminor = jnp.clip(jnp.floor(factor_m).astype(jnp.int32), 1, 18)
     minorfrac = factor_m - indminor
 
-    chi = jnp.asarray(chi_mls, dtype)              # (7, 59)
-
     def rat(i, j):
         # chi_mls(i, jp)/chi_mls(j, jp) and at jp+1 (1-based species i,j)
-        r0 = chi[i - 1, jp1b - 1] / chi[j - 1, jp1b - 1]
-        r1 = chi[i - 1, jp1b] / chi[j - 1, jp1b]
+        r0 = at_jp[..., 1 + i] / at_jp[..., 1 + j]
+        r1 = at_jp1[..., 1 + i] / at_jp1[..., 1 + j]
         return r0, r1
 
     rat_h2oco2, rat_h2oco2_1 = rat(1, 2)
@@ -230,4 +242,5 @@ def prepare_columns(pressure_hl, pressure_fl, temperature_fl,
         rat_h2och4=rat_h2och4, rat_h2och4_1=rat_h2och4_1,
         rat_n2oco2=rat_n2oco2, rat_n2oco2_1=rat_n2oco2_1,
         rat_o3co2=rat_o3co2, rat_o3co2_1=rat_o3co2_1,
+        chi_jp1=at_jp1[..., 2:],
     )

@@ -52,12 +52,62 @@ def _where_g(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+# Bands whose lower/upper major absorption is 1-key-species: their
+# interpolation indices are band-independent, so the tables are batched
+# into one weighted_take (rrtmg_interp.BatchedTake).  2-key SW bands each
+# carry their own constant eta ratio (strrat) and cannot share js/fs.
+_SW_M1_LOWER = (20, 23, 25, 27, 29)
+_SW_M1_UPPER = (16, 18, 19, 20, 22, 24, 27, 29)
+# Bands computing self/foreign continua (those with H2O as a key species)
+_SW_SELFFOR = (16, 17, 18, 19, 20, 21, 22, 23, 24, 29)
+
+
+def _shared_interp_sw(tables, cols: GasColumns):
+    c = cols
+
+    def t(band, key):
+        return tables[f"{band}/{key}"]
+
+    b_self = ri.BatchedTake()
+    b_for = ri.BatchedTake()
+    b_m1lo = ri.BatchedTake()
+    b_m1hi = ri.BatchedTake()
+    for band in _SW_SELFFOR:
+        b_self.add(band, t(band, "selfref"))
+        forref = np.asarray(t(band, "forref"))
+        if forref.shape[0] < 4:
+            # duplicate-last-row padding == the per-band index clip
+            forref = np.concatenate(
+                [forref] + [forref[-1:]] * (4 - forref.shape[0]), axis=0)
+        b_for.add(band, forref)
+    for band in _SW_M1_LOWER:
+        b_m1lo.add(band, t(band, "ka"))
+    for band in _SW_M1_UPPER:
+        b_m1hi.add(band, t(band, "kb"))
+
+    w1 = c.selffac * c.selffrac
+    b_self.run(lambda tab: ri.weighted_take(
+        tab.reshape(-1, tab.shape[-1]),
+        [(c.indself, c.selffac - w1), (c.indself + 1, w1)]))
+    w1f = c.forfac * c.forfrac
+    b_for.run(lambda tab: ri.weighted_take(
+        tab.reshape(-1, tab.shape[-1]),
+        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)]))
+    b_m1lo.run(lambda tab: ri.major_1(
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11))
+    b_m1hi.run(lambda tab: ri.major_1(
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
+        jp_offset=12))
+    return {"self": b_self, "for": b_for, "m1lo": b_m1lo, "m1hi": b_m1hi}
+
+
 class _SwBand:
-    def __init__(self, tables, cols: GasColumns, band: int):
+    def __init__(self, tables, cols: GasColumns, band: int, shared=None):
         self.t = {k.split("/", 1)[1]: v for k, v in tables.items()
                   if k.startswith(f"{band}/")}
         self.c = cols
         self.band = band
+        self.sh = shared
         c = cols
         # topmost lower-atmosphere layer (top-down index), per column
         self.k_trop_top = jnp.argmax(cols.tropo.astype(jnp.int32), axis=1)
@@ -65,11 +115,15 @@ class _SwBand:
     # --- major absorption -------------------------------------------------
     def major_lower_1(self):
         c = self.c
+        if self.sh is not None and self.band in _SW_M1_LOWER:
+            return self.sh["m1lo"].get(self.band)
         return ri.major_1(self.t["ka"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11)
 
     def major_upper_1(self):
         c = self.c
+        if self.sh is not None and self.band in _SW_M1_UPPER:
+            return self.sh["m1hi"].get(self.band)
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12)
 
@@ -112,6 +166,9 @@ class _SwBand:
         """colh2o * (self + foreign) — SW taumols multiply by colh2o
         explicitly (srtm_taumol16.F90:95-102)."""
         c = self.c
+        if self.sh is not None:
+            return c.colh2o[..., None] * (self.sh["self"].get(self.band)
+                                          + self.sh["for"].get(self.band))
         tself = ri.self_continuum(self.t["selfref"], c.selffac, c.selffrac,
                                   c.indself)
         tfor = ri.foreign_continuum(self.t["forref"], c.forfac, c.forfrac,
@@ -120,6 +177,8 @@ class _SwBand:
 
     def foreign_only(self):
         c = self.c
+        if self.sh is not None:
+            return c.colh2o[..., None] * self.sh["for"].get(self.band)
         tfor = ri.foreign_continuum(self.t["forref"], c.forfac, c.forfrac,
                                     c.indfor)
         return c.colh2o[..., None] * tfor
@@ -352,9 +411,10 @@ def gas_optical_depth_sw(tables: dict, cols: GasColumns):
     Equivalent of ifsrrtm/srtm_gas_optical_depth.F90 (which also converts
     to od = taug + taur and ssa = taur/od — done in rrtmg.py here).
     """
+    shared = _shared_interp_sw(tables, cols)
     taugs, taurs, sfluxes = [], [], []
     for b in range(16, 30):
-        tb = _SwBand(tables, cols, b)
+        tb = _SwBand(tables, cols, b, shared)
         taug, taur, sflux = _SW_BAND_FNS[b](tb)
         taugs.append(taug)
         taurs.append(taur)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ecrad_tpu.optics.rrtmg_interp import take_bands
 from ecrad_tpu.solvers import adding, two_stream
 from ecrad_tpu.solvers.lw_derivatives import lw_derivatives_ica
 from ecrad_tpu.solvers.outputs import LwFluxes, SwFluxes
@@ -99,12 +100,12 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
 
     # --- total sky
     cloudy_layer = cloud_fraction >= cloud_fraction_threshold
-    od_cloud_g = od_scaling * jnp.take(od_cloud_b, bb, axis=-1)
+    od_cloud_g = od_scaling * take_bands(od_cloud_b, bb)
     od_total, ssa_total, g_total = _merge_cloud_lw(
         od, od_cloud_g, cloudy_layer,
-        ssa_cloud_g=jnp.take(ssa_cloud_b, bb, axis=-1)
+        ssa_cloud_g=take_bands(ssa_cloud_b, bb)
         if ssa_cloud_b is not None else None,
-        g_cloud_g=jnp.take(g_cloud_b, bb, axis=-1)
+        g_cloud_g=take_bands(g_cloud_b, bb)
         if g_cloud_b is not None else None,
         ssa_clear=ssa, g_clear=g,
         do_cloud_scattering=do_lw_cloud_scattering,
@@ -192,14 +193,13 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     # --- total sky: merge cloud into gas optics per g
     cloudy_layer = cloud_fraction >= cloud_fraction_threshold
     m = cloudy_layer[..., None]
-    od_cloud_g = od_scaling * jnp.take(od_cloud_b, bb, axis=-1)
+    od_cloud_g = od_scaling * take_bands(od_cloud_b, bb)
+    ssa_cloud_g = take_bands(ssa_cloud_b, bb)
     od_tot = od + jnp.where(m, od_cloud_g, 0.0)
-    scat = ssa * od + jnp.where(
-        m, jnp.take(ssa_cloud_b, bb, axis=-1) * od_cloud_g, 0.0)
+    scat = ssa * od + jnp.where(m, ssa_cloud_g * od_cloud_g, 0.0)
     gscat = (g * ssa * od
-             + jnp.where(m, jnp.take(g_cloud_b, bb, axis=-1)
-                         * jnp.take(ssa_cloud_b, bb, axis=-1)
-                         * od_cloud_g, 0.0))
+             + jnp.where(m, take_bands(g_cloud_b, bb)
+                         * ssa_cloud_g * od_cloud_g, 0.0))
     ssa_tot = jnp.where(od_tot > 0.0, scat / jnp.maximum(od_tot, 1e-300),
                         0.0)
     g_tot = jnp.where(scat > 0.0, gscat / jnp.maximum(scat, 1e-300), 0.0)
