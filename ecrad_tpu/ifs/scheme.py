@@ -89,11 +89,15 @@ def radiation_scheme(scheme: RadiationScheme, *,
                      cloud_frac, q_liquid, q_ice, q_rain, q_snow,
                      aerosol_mmr=None, ccn_land=None, ccn_sea=None,
                      re_liq=None, re_ice=None, cloud_overlap=None,
-                     iseed=None, cloud_extra=None, fractional_std=None):
+                     iseed=None, cloud_extra=None, fractional_std=None,
+                     gas_units="mmr"):
     """RADIATION_SCHEME (ifs/radiation_scheme.F90): flat arrays in, net
     fluxes + surface diagnostics out.  Gas arrays are mass mixing
-    ratios; q is specific humidity used directly as the H2O MMR, and
-    q_ice includes snow (L393-395).
+    ratios by default (the IFS convention: q is specific humidity used
+    directly as the H2O MMR, and q_ice includes snow, L393-395); host
+    models holding VMR arrays pass ``gas_units="vmr"`` (or a per-gas
+    dict) and conversion happens through the ecrad_tpu.gas.Gas
+    container (radiation_gas.F90:412-464 set_units path).
 
     cloud_extra: optional dict merged into the cloud inputs before the
     McICA generation step; supplying od_scaling_sw/_lw +
@@ -176,17 +180,22 @@ def radiation_scheme(scheme: RadiationScheme, *,
                 cloud["overlap_param"], fractional_std, cfg.n_g_lw)
             cloud.update(od_scaling_lw=od_s, total_cloud_cover_lw=tcc)
 
-    gas_mmr = jnp.zeros((ncol, nlev, constants.NUM_GASES))
+    # Fill the gas container via the library-level Gas API
+    # (GAS%PUT x 9 + PUT_WELL_MIXED(O2), radiation_scheme.F90:527-536).
+    # gas_units: "mmr" (IFS convention, default) or "vmr", or a per-gas
+    # dict — host models with VMR arrays pass gas_units="vmr".
+    from ecrad_tpu.gas import Gas
+    gas = Gas.allocate(ncol, nlev, jnp.asarray(q).dtype)
     for name, arr in (("h2o", q), ("co2", co2), ("ch4", ch4),
                       ("n2o", n2o), ("no2", no2), ("cfc11", cfc11),
                       ("cfc12", cfc12), ("hcfc22", hcfc22),
                       ("ccl4", ccl4), ("o3", o3)):
-        gas_mmr = gas_mmr.at[:, :, constants.GAS_INDEX[name]].set(
-            jnp.asarray(arr))
+        units = gas_units.get(name, "mmr") \
+            if isinstance(gas_units, dict) else gas_units
+        gas = gas.put(name, units, jnp.asarray(arr))
     # well-mixed O2 at 0.20944 VMR (radiation_scheme.F90:536)
-    o2_mmr = 0.20944 * (constants.MOLAR_MASS["o2"]
-                        / constants.MOLAR_MASS_DRY_AIR)
-    gas_mmr = gas_mmr.at[:, :, constants.GAS_INDEX["o2"]].set(o2_mmr)
+    gas = gas.put_well_mixed("o2", "vmr", 0.20944)
+    gas_mmr = gas.to_mmr()
 
     aerosol = None
     if cfg.use_aerosols and aerosol_mmr is not None:
