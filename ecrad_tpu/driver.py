@@ -154,6 +154,18 @@ def run(config_path: str, input_path: str, output_path: str,
             "input fields out of physical bounds; set "
             "do_correct_unphysical_inputs=true to clamp them")
 
+    # Level-windowed RRTMG interpolation on accelerators: probe the
+    # input grid for exact per-level index spans before tracing
+    # (rrtmg_interp module notes; no-op on CPU where gathers are used)
+    import os as _os
+    if jax.default_backend() != "cpu" and "rrtmg" in tables.gas \
+            and _os.environ.get("ECRAD_TPU_NO_WINDOWS", "0") in ("", "0"):
+        from ecrad_tpu.optics import rrtmg as rrtmg_mod
+        from ecrad_tpu.optics import rrtmg_interp
+        rrtmg_interp.set_level_windows(rrtmg_mod.compute_interp_windows(
+            tables.gas["rrtmg"], inp.thermodynamics.pressure_hl,
+            inp.thermodynamics.temperature_hl))
+
     dt = jnp.float64 if dtype == "float64" else jnp.float32
 
     def to_dev(x):

@@ -48,6 +48,72 @@ def setup_tables():
     return tables
 
 
+def compute_interp_windows(tables, pressure_hl, temperature_hl) -> dict:
+    """Probe the real inputs for the per-level (jp, jt)-plane spans and
+    derive exact level-window widths for every major-species
+    interpolation (see rrtmg_interp module notes).
+
+    The row index of every major interpolation is ``P*njs + js + d``
+    with ``P = jp*5 + jt`` (plane index into the flattened table) and
+    ``js + d`` bounded by the eta-axis size, so a width of
+    ``(Pspan-1)*njs + (njs + edge)`` covers the true span exactly.
+    Pure function of pressure/temperature (rrtm_setcoef_140gp.F90 index
+    formulas); one tiny jitted reduce, fetched to host ints.
+
+    Install with ``rrtmg_interp.set_level_windows`` BEFORE tracing the
+    radiation step."""
+    import jax
+
+    preflog = np.asarray(tables["preflog"])
+    tref = np.asarray(tables["tref"])
+
+    @jax.jit
+    def spans(phl, thl):
+        pavel = 0.5 * (phl[:, :-1] + phl[:, 1:]) * 0.01   # hPa
+        tavel = 0.5 * (thl[:, :-1] + thl[:, 1:])
+        plog = jnp.log(pavel)
+        jp1b = jnp.clip(jnp.floor(36.0 - 5.0 * (plog + 0.04))
+                        .astype(jnp.int32), 1, 58)
+        jp = jp1b - 1                                   # 0-based 0..57
+        tref_jp = jnp.take(jnp.asarray(tref), jp, axis=0)
+        tref_jp1 = jnp.take(jnp.asarray(tref),
+                            jnp.clip(jp + 1, 0, 58), axis=0)
+        jt = jnp.clip(jnp.floor(3.0 + (tavel - tref_jp) / 15.0)
+                      .astype(jnp.int32), 1, 4) - 1     # 0-based 0..3
+        jt1 = jnp.clip(jnp.floor(3.0 + (tavel - tref_jp1) / 15.0)
+                       .astype(jnp.int32), 1, 4) - 1
+
+        def pspan(njp, off):
+            jp0 = jnp.clip(jp - off, 0, njp - 1)
+            jp1_ = jnp.clip(jp + 1 - off, 0, njp - 1)
+            cands = jnp.stack([jp0 * 5 + jt, jp0 * 5 + jt + 1,
+                               jp1_ * 5 + jt1, jp1_ * 5 + jt1 + 1])
+            pmin = jnp.min(cands, axis=(0, 1))          # per level
+            pmax = jnp.max(cands, axis=(0, 1))
+            return jnp.max(pmax - pmin) + 1
+        return pspan(13, 0), pspan(47, 12)
+
+    s_lo, s_hi = (int(x) for x in jax.device_get(
+        spans(jnp.asarray(pressure_hl), jnp.asarray(temperature_hl))))
+
+    windows = {
+        "lw/m1lo": s_lo, "lw/m1hi": s_hi,
+        "sw/m1lo": s_lo, "sw/m1hi": s_hi,
+    }
+    # LW lower eta bands: njs=9, eta-edge offsets d in [-1, 2], js<=7
+    # => js+d in [-1, 9]: 11 values
+    for name in ("h2oco2", "h2oo3", "h2och4", "h2on2o", "n2oco2"):
+        windows[f"lw/m2lo/{name}"] = (s_lo - 1) * 9 + 11
+    # LW upper eta bands (3,4,5): njs=5, js in [0,3], djs in {0,1}
+    for band in (3, 4, 5):
+        windows[f"lw/m2hi/{band}"] = (s_hi - 1) * 5 + 5
+    # SW: njs=9 lower (js+djs in [0,8]) / njs=5 upper (js+djs in [0,4])
+    for band in range(16, 30):
+        windows[f"sw/m2lo/{band}"] = (s_lo - 1) * 9 + 9
+        windows[f"sw/m2hi/{band}"] = (s_hi - 1) * 5 + 5
+    return windows
+
+
 def _planck_interp_index(temperature):
     """TOTPLNK LUT index+fraction (radiation_ifs_rrtm.F90:672-690).
 

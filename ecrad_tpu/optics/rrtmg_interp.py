@@ -50,9 +50,112 @@ def reshape_minor2(kam: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(kam, (1, 0, 2)))
 
 
+# --- level-windowed interpolation ------------------------------------------
+#
+# The dominant cost of the one-hot formulation is building the (N, nrows)
+# weight matrix on the VPU: N*nrows*npairs elementwise ops regardless of
+# how narrow the output is.  But the row indices are driven by the
+# pressure index jp, which at any given model LEVEL spans only a handful
+# of values across columns (pressure varies across columns far less than
+# across levels).  With a per-level row offset ``off[l]`` (traced, from
+# the data) and a static window width W, the contraction becomes a
+# level-batched matmul against a (nlev, W, ng) windowed table — cutting
+# both the weight-matrix build and the MXU contraction by nrows/W
+# (measured 2.5x for the 585-row lower tables, >10x for the 1175-row
+# upper tables whose jp span per level is tiny).
+#
+# W must be static.  The driver computes the exact per-pair-set spans
+# from the real inputs with :func:`pair_span` (a tiny jitted probe using
+# the same index expressions), then installs them via
+# :func:`set_level_windows` BEFORE tracing the main program.  When the
+# installed width covers the true span the result is exact (identical
+# row set, different summation grouping); the window is clipped for
+# memory safety, and the default (no windows installed) is the exact
+# full-table path.
+
+_LEVEL_WINDOWS = None
+
+
+def set_level_windows(windows):
+    """Install {key: width} interpolation windows (or None to disable).
+
+    Trace-time state: set before building/jitting the radiation step;
+    programs traced earlier keep whatever windows were installed then."""
+    global _LEVEL_WINDOWS
+    _LEVEL_WINDOWS = dict(windows) if windows else None
+
+
+def get_level_windows():
+    return dict(_LEVEL_WINDOWS) if _LEVEL_WINDOWS else None
+
+
+def _round_up8(n):
+    return -(-int(n) // 8) * 8
+
+
+def pair_span(pairs):
+    """Traced per-level row span of a pair set: max over levels of
+    (max-min over columns and pairs) + 1.  idx arrays are (ncol, nlev)."""
+    lo = hi = None
+    for idx, _ in pairs:
+        l_ = jnp.min(idx, axis=0)
+        h_ = jnp.max(idx, axis=0)
+        lo = l_ if lo is None else jnp.minimum(lo, l_)
+        hi = h_ if hi is None else jnp.maximum(hi, h_)
+    return jnp.max(hi - lo) + 1
+
+
+def _window_width(key, nrows):
+    if _LEVEL_WINDOWS is None or key is None:
+        return None
+    w = _LEVEL_WINDOWS.get(key)
+    if w is None:
+        return None
+    w = min(_round_up8(w), nrows)
+    return None if w >= nrows else w
+
+
+def _weighted_take_windowed(table, pairs, width):
+    """Level-windowed weighted_take.  idx arrays (ncol, nlev); returns
+    (ncol, nlev, ng).  Exact when width covers the true per-level span
+    (guaranteed by the driver probe)."""
+    table = jnp.asarray(table)
+    nrows = table.shape[0]
+    # per-level base row = min over pairs/columns
+    off = None
+    for idx, _ in pairs:
+        m = jnp.min(idx, axis=0)
+        off = m if off is None else jnp.minimum(off, m)
+    off = jnp.clip(off, 0, nrows - width)            # (nlev,)
+
+    # windowed table (nlev, width, ng) — exact one-hot row selection
+    offsets = off[:, None] + jnp.arange(width, dtype=off.dtype)[None, :]
+    oh = (offsets[..., None]
+          == jnp.arange(nrows, dtype=off.dtype)).astype(table.dtype)
+    twin = jnp.dot(oh.reshape(-1, nrows), table,
+                   preferred_element_type=table.dtype,
+                   precision=jax.lax.Precision.HIGH)
+    twin = twin.reshape(offsets.shape + (table.shape[-1],))
+
+    # weight matrix over the window, built in (nlev, ncol, width) order
+    iota = jnp.arange(width, dtype=jnp.int32)
+    A = None
+    for idx, w in pairs:
+        rel = jnp.clip(idx - off[None, :], 0, width - 1).T   # (nlev, ncol)
+        ohp = (rel[..., None] == iota).astype(table.dtype)
+        term = ohp if w is None else w.T[..., None] * ohp
+        A = term if A is None else A + term
+
+    out = jax.lax.dot_general(
+        A, twin, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=table.dtype,
+        precision=jax.lax.Precision.HIGH)            # (nlev, ncol, ng)
+    return jnp.moveaxis(out, 0, 1)
+
+
 # --- the gather primitive --------------------------------------------------
 
-def weighted_take(table, pairs):
+def weighted_take(table, pairs, key=None):
     """``sum_i w_i * table[idx_i]`` over a list of (idx, weight) pairs.
 
     table: (nrows, ng); idx: (...,) int; weight: (...,) or None (== 1).
@@ -73,6 +176,9 @@ def weighted_take(table, pairs):
                 t = w[..., None] * t
             out = t if out is None else out + t
         return out
+    width = _window_width(key, nrows)
+    if width is not None:
+        return _weighted_take_windowed(table, pairs, width)
     iota = jnp.arange(nrows, dtype=jnp.int32)
     A = None
     for idx, w in pairs:
@@ -166,7 +272,21 @@ class BatchedTake:
         return any(k == key for k, _ in self._tabs)
 
 
-def major_1(table, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset=0):
+def major_1_pairs(njp, jp, jt, jt1, fac00, fac01, fac10, fac11,
+                  jp_offset=0):
+    """The 4 (row, weight) pairs of the 1-key-species interpolation."""
+    jp0 = jnp.clip(jp - jp_offset, 0, njp - 1)
+    jp1 = jnp.clip(jp + 1 - jp_offset, 0, njp - 1)
+    return [
+        (jp0 * 5 + jt, fac00),
+        (jp0 * 5 + jt + 1, fac10),
+        (jp1 * 5 + jt1, fac01),
+        (jp1 * 5 + jt1 + 1, fac11),
+    ]
+
+
+def major_1(table, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset=0,
+            key=None):
     """1-key-species major absorption (e.g. rrtm_taumol1.F90:202-236).
 
     table: (njp, 5, ng) jp-major; jp_offset subtracted from jp first
@@ -175,14 +295,8 @@ def major_1(table, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset=0):
     """
     njp = table.shape[0]
     flat = table.reshape((-1,) + table.shape[2:])      # (njp*5, ng)
-    jp0 = jnp.clip(jp - jp_offset, 0, njp - 1)
-    jp1 = jnp.clip(jp + 1 - jp_offset, 0, njp - 1)
-    return weighted_take(flat, [
-        (jp0 * 5 + jt, fac00),
-        (jp0 * 5 + jt + 1, fac10),
-        (jp1 * 5 + jt1, fac01),
-        (jp1 * 5 + jt1 + 1, fac11),
-    ])
+    return weighted_take(flat, major_1_pairs(
+        njp, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset), key=key)
 
 
 def spec_setup(n_eta, colgas1, colgas2, rat):
@@ -199,23 +313,11 @@ def spec_setup(n_eta, colgas1, colgas2, rat):
     return speccomb, specparm, js0, fs
 
 
-def major_2(table, jp, jt, jt1, fac00, fac01, fac10, fac11,
-            speccomb, specparm, js, fs, speccomb1, specparm1, js1, fs1,
-            jp_offset=0, eta_edges=True):
-    """2-key-species major absorption with eta interpolation, including the
-    quartic eta-edge corrections for specparm < 0.125 / > 0.875
-    (rrtm_taumol3.F90:170-289 pattern).
-
-    table: (njp, 5, n_js, ng); js/js1 0-based.
-    eta_edges: bands using the 9-point eta axis apply the edge scheme;
-    bands that don't (e.g. taumol9/12-like linear eta) pass False.
-    Returns tau_major_total = speccomb-weighted sum of both jp planes,
-    assembled as ONE weighted_take over 12 (or 8) weighted rows so the
-    TPU path is a single one-hot matmul.
-    """
-    njp, njs = table.shape[0], table.shape[2]
-    flat = table.reshape((-1,) + table.shape[3:])       # (njp*5*njs, ng)
-    nfl = flat.shape[0]
+def major_2_pairs(njp, njs, nfl, jp, jt, jt1, fac00, fac01, fac10, fac11,
+                  speccomb, specparm, js, fs, speccomb1, specparm1, js1,
+                  fs1, jp_offset=0, eta_edges=True):
+    """The 12 (or 8) (row, weight) pairs of the 2-key-species
+    interpolation (see :func:`major_2`)."""
 
     def side_pairs(jp_side, jt_side, facA, facB, speccomb_s, specparm_s,
                    js_s, fs_s):
@@ -260,10 +362,34 @@ def major_2(table, jp, jt, jt1, fac00, fac01, fac10, fac11,
                               speccomb_s * fac * fs_c))
         return pairs
 
-    pairs = (side_pairs(jp, jt, fac00, fac10, speccomb, specparm, js, fs)
-             + side_pairs(jp + 1, jt1, fac01, fac11, speccomb1,
-                          specparm1, js1, fs1))
-    return weighted_take(flat, pairs)
+    return (side_pairs(jp, jt, fac00, fac10, speccomb, specparm, js, fs)
+            + side_pairs(jp + 1, jt1, fac01, fac11, speccomb1,
+                         specparm1, js1, fs1))
+
+
+def major_2(table, jp, jt, jt1, fac00, fac01, fac10, fac11,
+            speccomb, specparm, js, fs, speccomb1, specparm1, js1, fs1,
+            jp_offset=0, eta_edges=True, key=None):
+    """2-key-species major absorption with eta interpolation, including the
+    quartic eta-edge corrections for specparm < 0.125 / > 0.875
+    (rrtm_taumol3.F90:170-289 pattern).
+
+    table: (njp, 5, n_js, ng); js/js1 0-based.
+    eta_edges: bands using the 9-point eta axis apply the edge scheme;
+    bands that don't (e.g. taumol9/12-like linear eta) pass False.
+    Returns tau_major_total = speccomb-weighted sum of both jp planes,
+    assembled as ONE weighted_take over 12 (or 8) weighted rows so the
+    TPU path is a single one-hot matmul (level-windowed when a window is
+    installed for ``key``).
+    """
+    njp, njs = table.shape[0], table.shape[2]
+    flat = table.reshape((-1,) + table.shape[3:])       # (njp*5*njs, ng)
+    nfl = flat.shape[0]
+    pairs = major_2_pairs(njp, njs, nfl, jp, jt, jt1, fac00, fac01,
+                          fac10, fac11, speccomb, specparm, js, fs,
+                          speccomb1, specparm1, js1, fs1, jp_offset,
+                          eta_edges)
+    return weighted_take(flat, pairs, key=key)
 
 
 def self_continuum(selfref, selffac, selffrac, indself):

@@ -158,10 +158,11 @@ def _shared_interp_lw(tables, cols: GasColumns):
         tab.reshape(-1, tab.shape[-1]), jnp.ones_like(c.minorfrac),
         c.minorfrac, c.indminor))
     b_m1lo.run(lambda tab: ri.major_1(
-        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11))
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
+        key="lw/m1lo"))
     b_m1hi.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        jp_offset=12))
+        jp_offset=12, key="lw/m1hi"))
 
     m2lo = {}
     for name in set(_M2_GROUP.values()):
@@ -172,9 +173,12 @@ def _shared_interp_lw(tables, cols: GasColumns):
         col1, col2, rat0, rat1 = _rat_args(cols, name)
         sc0, sp0, js0, fs0 = ri.spec_setup(8, col1, col2, rat0)
         sc1, sp1, js1, fs1 = ri.spec_setup(8, col1, col2, rat1)
-        bt.run(lambda tab: ri.major_2(
-            tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-            sc0, sp0, js0, fs0, sc1, sp1, js1, fs1, eta_edges=True))
+        bt.run(lambda tab, _sc0=sc0, _sp0=sp0, _js0=js0, _fs0=fs0,
+               _sc1=sc1, _sp1=sp1, _js1=js1, _fs1=fs1, _name=name:
+               ri.major_2(
+                   tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10,
+                   c.fac11, _sc0, _sp0, _js0, _fs0, _sc1, _sp1, _js1,
+                   _fs1, eta_edges=True, key=f"lw/m2lo/{_name}"))
         m2lo[name] = bt
 
     sh["self"] = b_self
@@ -235,14 +239,16 @@ class _Band:
         if self.sh is not None and self.band in _M1_LOWER:
             return self.sh["m1lo"].get(self.band)
         return ri.major_1(self.t["ka"], c.jp, c.jt, c.jt1,
-                          c.fac00, c.fac01, c.fac10, c.fac11)
+                          c.fac00, c.fac01, c.fac10, c.fac11,
+                          key="lw/m1lo")
 
     def major_upper_1(self):
         c = self.c
         if self.sh is not None and self.band in _M1_UPPER:
             return self.sh["m1hi"].get(self.band)
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
-                          c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12)
+                          c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12,
+                          key="lw/m1hi")
 
     def major_lower_2(self, col1, col2, rat0, rat1):
         c = self.c
@@ -253,7 +259,9 @@ class _Band:
         return ri.major_2(self.t["ka"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11,
                           sc0, sp0, js0, fs0, sc1, sp1, js1, fs1,
-                          eta_edges=True)
+                          eta_edges=True,
+                          key=(f"lw/m2lo/{_M2_GROUP[self.band]}"
+                               if self.band in _M2_GROUP else None))
 
     def major_upper_2(self, col1, col2, rat0, rat1):
         c = self.c
@@ -262,7 +270,8 @@ class _Band:
         return ri.major_2(self.t["kb"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11,
                           sc0, sp0, js0, fs0, sc1, sp1, js1, fs1,
-                          jp_offset=12, eta_edges=False)
+                          jp_offset=12, eta_edges=False,
+                          key=f"lw/m2hi/{self.band}")
 
     def pfrac_eta(self, key, col1, col2, refrat, n_eta):
         """Eta-interpolated Planck fraction with constant reference ratio."""

@@ -94,10 +94,11 @@ def _shared_interp_sw(tables, cols: GasColumns):
         tab.reshape(-1, tab.shape[-1]),
         [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)]))
     b_m1lo.run(lambda tab: ri.major_1(
-        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11))
+        tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
+        key="sw/m1lo"))
     b_m1hi.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        jp_offset=12))
+        jp_offset=12, key="sw/m1hi"))
     return {"self": b_self, "for": b_for, "m1lo": b_m1lo, "m1hi": b_m1hi}
 
 
@@ -127,7 +128,8 @@ class _SwBand:
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12)
 
-    def _major_2_shared_js(self, table, col1, col2, rat, n_eta, jp_offset):
+    def _major_2_shared_js(self, table, col1, col2, rat, n_eta, jp_offset,
+                           key=None):
         """SW 2-species interpolation: single js/fs shared by both
         pressure planes, no eta-edge corrections
         (srtm_taumol16.F90:50-103)."""
@@ -150,16 +152,16 @@ class _SwBand:
                 idx = jnp.clip((jp_s * 5 + jt_s) * njs + js + djs, 0,
                                nfl - 1)
                 pairs.append((idx, fsw * fac))
-        tau = ri.weighted_take(flat, pairs)
+        tau = ri.weighted_take(flat, pairs, key=key)
         return tau, js, fs
 
     def major_lower_2(self, col1, col2, strrat):
         return self._major_2_shared_js(self.t["ka"], col1, col2, strrat,
-                                       8, 0)
+                                       8, 0, key=f"sw/m2lo/{self.band}")
 
     def major_upper_2(self, col1, col2, strrat):
         return self._major_2_shared_js(self.t["kb"], col1, col2, strrat,
-                                       4, 12)
+                                       4, 12, key=f"sw/m2hi/{self.band}")
 
     # --- continua ---------------------------------------------------------
     def self_for(self):
