@@ -21,11 +21,29 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 from ecrad_tpu.optics.rrtmg_interp import take_bands
 from ecrad_tpu.solvers import adding, two_stream
 from ecrad_tpu.solvers.lw_derivatives import lw_derivatives_ica
 from ecrad_tpu.solvers.outputs import LwFluxes, SwFluxes
 from ecrad_tpu import profiling
+
+
+def _gcounts(band_from_g):
+    """Static per-band g counts; the g axis must be band-contiguous
+    (RRTMG band-major ordering) for the in-kernel staircase expansion."""
+    bfg = np.asarray(band_from_g)
+    if np.any(np.diff(bfg) < 0):
+        return None
+    return tuple(int(c) for c in np.bincount(bfg))
+
+
+def _use_fused(spec_matrix, band_from_g):
+    """Fused Pallas solver applies on accelerators for the reduced
+    (no spectral-profile) contract with band-contiguous g ordering."""
+    return (spec_matrix is None and adding._mode() == "pallas"
+            and _gcounts(band_from_g) is not None)
 
 
 def _mix(w, cloudy, clear):
@@ -80,6 +98,13 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
       cloud_fraction: (ncol, nlev)
       spec_matrix: optional (ng, nspec) projection for spectral profiles
     """
+    if (_use_fused(spec_matrix, band_from_g) and do_lw_cloud_scattering
+            and not do_lw_aerosol_scattering):
+        return _solver_mcica_lw_fused(
+            od, od_cloud_b, ssa_cloud_b, g_cloud_b, band_from_g,
+            od_scaling, total_cloud_cover, cloud_fraction, planck_hl,
+            emission, albedo, cloud_fraction_threshold,
+            do_lw_derivatives)
     planck_top, planck_bot = planck_hl[:, :-1], planck_hl[:, 1:]
     bb = jnp.asarray(band_from_g)
 
@@ -132,7 +157,18 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                                               emission, albedo,
                                               spec_matrix)
 
-    # --- combine with cloud cover weights; profile with no cloud → clear
+    deriv_cloudy = deriv_clear = None
+    if do_lw_derivatives:
+        deriv_cloudy = lw_derivatives_ica(trans, tot.up_surf_g)
+        deriv_clear = lw_derivatives_ica(trans_clear, clear.up_surf_g)
+    return _finish_lw(clear, tot, total_cloud_cover,
+                      cloud_fraction_threshold, deriv_cloudy, deriv_clear)
+
+
+def _finish_lw(clear, tot, total_cloud_cover, cloud_fraction_threshold,
+               deriv_cloudy=None, deriv_clear=None) -> LwFluxes:
+    """Blend total/clear scenes by cloud cover and pack LwFluxes
+    (radiation_mcica_lw.F90:236-248)."""
     tcc = total_cloud_cover
     has_cloud = (tcc >= cloud_fraction_threshold)
     w = jnp.where(has_cloud, tcc, 0.0)
@@ -152,11 +188,9 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
         flux_up_clear_s=clear.up_s,
         flux_dn_clear_s=clear.dn_s)
 
-    if do_lw_derivatives:
+    if deriv_cloudy is not None:
         # cloudy-scene derivative, then blend with clear
-        # (radiation_mcica_lw.F90:236-248; modify_lw_derivatives_ica)
-        deriv_cloudy = lw_derivatives_ica(trans, tot.up_surf_g)
-        deriv_clear = lw_derivatives_ica(trans_clear, clear.up_surf_g)
+        # (modify_lw_derivatives_ica)
         wd = jnp.where(has_cloud, 1.0 - tcc, 1.0)[:, None]
         deriv = jnp.where(
             has_cloud[:, None],
@@ -168,6 +202,64 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
     return out
 
 
+def _solver_mcica_lw_fused(od, od_cloud_b, ssa_cloud_b, g_cloud_b,
+                           band_from_g, od_scaling, total_cloud_cover,
+                           cloud_fraction, planck_hl, emission, albedo,
+                           cloud_fraction_threshold, do_lw_derivatives
+                           ) -> LwFluxes:
+    """Fused-kernel LW path (see solvers/pallas_mcica.py)."""
+    from ecrad_tpu.solvers import pallas_mcica
+    from ecrad_tpu.solvers.adding import (LwAdding, _kernel_cols,
+                                          _stack_bot, _stack_top,
+                                          _to_kern, _to_kern_surf)
+
+    ncol, nlev, ng = od.shape
+    ncolp = _kernel_cols(ncol)
+    gcounts = _gcounts(band_from_g)
+    cloudy = (cloud_fraction >= cloud_fraction_threshold)
+    maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
+    albedo_b = jnp.broadcast_to(albedo, emission.shape)
+
+    r = pallas_mcica.lw_fused(
+        _to_kern(od, ncolp), _to_kern(od_cloud_b, ncolp),
+        _to_kern(ssa_cloud_b, ncolp), _to_kern(g_cloud_b, ncolp),
+        _to_kern(od_scaling, ncolp), maskk,
+        _to_kern(planck_hl, ncolp),
+        _to_kern_surf(emission, ncolp), _to_kern_surf(albedo_b, ncolp),
+        gcounts, do_lw_derivatives)
+
+    def gcol(x):                                   # (ng, ncolp) → (ncol, ng)
+        return x[:, :ncol].T
+
+    def bbl(x):                                    # (nlev, ncolp) → (nlev, ncol)
+        return x[:, :ncol]
+
+    fup_surf_c = gcol(r["fup_surf_c"])
+    clear = LwAdding(
+        up=_stack_bot(bbl(r["up_bb_c"]), jnp.sum(fup_surf_c, axis=-1)),
+        dn=_stack_top(jnp.zeros((ncol,), od.dtype), bbl(r["dn_bb_c"])),
+        up_toa_g=gcol(r["fup_toa_c"]),
+        dn_surf_g=gcol(r["fdn_surf_c"]),
+        up_surf_g=fup_surf_c)
+    src_top_t = gcol(r["src_top_t"])
+    tot = LwAdding(
+        up=_stack_top(jnp.sum(src_top_t, axis=-1), bbl(r["up_bb_t"])),
+        dn=_stack_top(jnp.zeros((ncol,), od.dtype), bbl(r["dn_bb_t"])),
+        up_toa_g=src_top_t,
+        dn_surf_g=gcol(r["fdn_surf_t"]),
+        up_surf_g=gcol(r["fup_surf_t"]))
+
+    deriv_cloudy = deriv_clear = None
+    if do_lw_derivatives:
+        ones = jnp.ones((ncol, 1), od.dtype)
+        deriv_cloudy = jnp.concatenate([bbl(r["deriv_t"]).T, ones],
+                                       axis=-1)
+        deriv_clear = jnp.concatenate([bbl(r["deriv_c"]).T, ones],
+                                      axis=-1)
+    return _finish_lw(clear, tot, total_cloud_cover,
+                      cloud_fraction_threshold, deriv_cloudy, deriv_clear)
+
+
 @profiling.traced("radiation_mcica_sw:solver_mcica_sw")
 def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     band_from_g, od_scaling, total_cloud_cover,
@@ -176,6 +268,12 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     cloud_fraction_threshold=1.0e-6,
                     do_sw_delta_scaling_with_gases=False,
                     spec_matrix=None) -> SwFluxes:
+    if _use_fused(spec_matrix, band_from_g):
+        return _solver_mcica_sw_fused(
+            od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b, band_from_g,
+            od_scaling, total_cloud_cover, cloud_fraction, incoming_sw,
+            cos_sza, albedo_diffuse, albedo_direct,
+            cloud_fraction_threshold, do_sw_delta_scaling_with_gases)
     mu0 = jnp.maximum(cos_sza, 1.0e-10)[:, None, None]
     bb = jnp.asarray(band_from_g)
 
@@ -218,6 +316,14 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
         jnp.maximum(cos_sza, 1.0e-10)[:, None],
         refl, trans, rdir, tdd, tdir, spec_matrix)
 
+    return _finish_sw(clear, tot, total_cloud_cover,
+                      cloud_fraction_threshold, cos_sza)
+
+
+def _finish_sw(clear, tot, total_cloud_cover, cloud_fraction_threshold,
+               cos_sza) -> SwFluxes:
+    """Blend total/clear SW scenes by cloud cover, zero night columns,
+    and pack SwFluxes (radiation_mcica_sw.F90 output section)."""
     tcc = total_cloud_cover
     has_cloud = tcc >= cloud_fraction_threshold
     day = cos_sza > 0.0
@@ -262,3 +368,63 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
         flux_dn_clear_s=zn(None if clear.dn_diffuse_s is None
                            else clear.dn_diffuse_s + clear.dn_direct_s),
         flux_dn_direct_clear_s=zn(clear.dn_direct_s))
+
+
+def _solver_mcica_sw_fused(od, ssa, g, od_cloud_b, ssa_cloud_b,
+                           g_cloud_b, band_from_g, od_scaling,
+                           total_cloud_cover, cloud_fraction,
+                           incoming_sw, cos_sza, albedo_diffuse,
+                           albedo_direct, cloud_fraction_threshold,
+                           do_sw_delta_scaling_with_gases) -> SwFluxes:
+    """Fused-kernel SW path (see solvers/pallas_mcica.py)."""
+    from ecrad_tpu.solvers import pallas_mcica
+    from ecrad_tpu.solvers.adding import (SwAdding, _kernel_cols,
+                                          _pad_cols, _stack_top,
+                                          _to_kern, _to_kern_surf)
+
+    ncol, nlev, ng = od.shape
+    ncolp = _kernel_cols(ncol)
+    gcounts = _gcounts(band_from_g)
+    cloudy = (cloud_fraction >= cloud_fraction_threshold)
+    maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
+
+    mu0_col = jnp.maximum(cos_sza, 1.0e-10)            # (ncol,)
+    mu0k = _pad_cols(mu0_col[None, :], ncolp)          # (1, ncolp)
+    alb_dif = jnp.broadcast_to(albedo_diffuse, incoming_sw.shape)
+    alb_dir_mu0 = jnp.broadcast_to(albedo_direct * mu0_col[:, None],
+                                   incoming_sw.shape)
+
+    r = pallas_mcica.sw_fused(
+        _to_kern(od, ncolp), _to_kern(ssa, ncolp), _to_kern(g, ncolp),
+        _to_kern(od_cloud_b, ncolp), _to_kern(ssa_cloud_b, ncolp),
+        _to_kern(g_cloud_b, ncolp), _to_kern(od_scaling, ncolp),
+        maskk, mu0k, _to_kern_surf(incoming_sw, ncolp),
+        _to_kern_surf(alb_dif, ncolp),
+        _to_kern_surf(alb_dir_mu0, ncolp),
+        gcounts, do_sw_delta_scaling_with_gases)
+
+    def gcol(x):
+        return x[:, :ncol].T
+
+    def bbl(x):
+        return x[:, :ncol]
+
+    mu0 = mu0_col[:, None]                             # (ncol, 1)
+    dir_toa_bb = jnp.sum(incoming_sw, axis=-1)
+    zeros_bb = jnp.zeros((ncol,), od.dtype)
+
+    def scene(tag):
+        src_top = gcol(r[f"src_top_{tag}"])
+        fdir_surf = gcol(r[f"fdir_surf_{tag}"])
+        return SwAdding(
+            up=_stack_top(jnp.sum(src_top, axis=-1),
+                          bbl(r[f"up_bb_{tag}"])),
+            dn_diffuse=_stack_top(zeros_bb, bbl(r[f"dn_bb_{tag}"])),
+            dn_direct=_stack_top(dir_toa_bb, bbl(r[f"dir_bb_{tag}"]))
+            * mu0_col[:, None],
+            up_toa_g=src_top,
+            dn_diffuse_surf_g=gcol(r[f"fdn_surf_{tag}"]),
+            dn_direct_surf_g=fdir_surf * mu0)
+
+    return _finish_sw(scene("c"), scene("t"), total_cloud_cover,
+                      cloud_fraction_threshold, cos_sza)

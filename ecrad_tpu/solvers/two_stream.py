@@ -23,6 +23,20 @@ def _k_min(dtype):
     return 1.0e-12 if dtype == jnp.float64 else 1.0e-6
 
 
+def _expm1_kahan(x):
+    """expm1 with full relative accuracy from exp/log only (Kahan's
+    reconstruction): Pallas TPU has no expm1 primitive, and 1-exp(-y)
+    loses all relative accuracy for small y without it.  u = e^x;
+    (u-1)*x/log(u) corrects the rounding of u-1 exactly where it
+    matters (u ~ 1)."""
+    u = jnp.exp(x)
+    um1 = u - 1.0
+    # u == 1: expm1 = x (to roundoff); u == 0 (underflow): exactly -1
+    logu = jnp.log(jnp.where(u == 1.0, jnp.e, u))
+    out = jnp.where(u == 1.0, x, um1 * x / logu)
+    return jnp.where(u == 0.0, -1.0, out)
+
+
 def delta_eddington(od, ssa, g):
     """Delta-Eddington scaling (radiation_delta_eddington.h:24-42).
 
@@ -126,7 +140,7 @@ def lw_no_scattering_trans(od, planck_top, planck_bot):
     return transmittance, source_up, source_dn
 
 
-def sw_ref_trans(mu0, od, ssa, g):
+def sw_ref_trans(mu0, od, ssa, g, pallas_safe=False):
     """SW Meador & Weaver (1980) reflectance/transmittance
     (radiation_two_stream.F90:563-775 calc_ref_trans_sw).
 
@@ -171,8 +185,10 @@ def sw_ref_trans(mu0, od, ssa, g):
 
     exponential = jnp.exp(-k * od)
     exponential2 = exponential * exponential
-    # 1 - exp(-2 k od), computed to relative accuracy
-    one_minus_exp2 = -jnp.expm1(-2.0 * k * od)
+    # 1 - exp(-2 k od), computed to relative accuracy (Kahan form inside
+    # Pallas kernels, which have no expm1 primitive)
+    em1 = _expm1_kahan if pallas_safe else jnp.expm1
+    one_minus_exp2 = -em1(-2.0 * k * od)
     k_mu0 = k * mu0
     one_minus_kmu0_sqr = (1.0 - k_mu0) * (1.0 + k_mu0)
     k_2_exponential = 2.0 * k * exponential
