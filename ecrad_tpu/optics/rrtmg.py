@@ -91,26 +91,51 @@ def compute_interp_windows(tables, pressure_hl, temperature_hl) -> dict:
             pmin = jnp.min(cands, axis=(0, 1))          # per level
             pmax = jnp.max(cands, axis=(0, 1))
             return jnp.max(pmax - pmin) + 1
-        return pspan(13, 0), pspan(47, 12)
 
-    s_lo, s_hi = (int(x) for x in jax.device_get(
-        spans(jnp.asarray(pressure_hl), jnp.asarray(temperature_hl))))
+        # laytrop level bounds (tropo = plog > 4.56, monotone per
+        # column top-down): lower tables are only selected at levels
+        # where some column is tropospheric, upper tables only where
+        # some column is stratospheric (rrtm_taumol* JLAY<=LAYTROP)
+        nlev = pavel.shape[1]
+        tropo = plog > 4.56
+        any_tropo = jnp.any(tropo, axis=1)
+        first_tropo = jnp.where(any_tropo,
+                                jnp.argmax(tropo, axis=1), nlev)
+        lo_start = jnp.min(first_tropo)
+        hi_end = jnp.max(first_tropo)
+
+        # LW Planck LUT index: floor(T-159) clipped to [1, 180]
+        # (radiation_ifs_rrtm.F90:672-690); span over half-levels
+        ind = jnp.clip(jnp.floor(thl - 159.0).astype(jnp.int32), 1, 180)
+        pspan_planck = jnp.max(jnp.max(ind, axis=0)
+                               - jnp.min(ind, axis=0)) + 2
+
+        return (pspan(13, 0), pspan(47, 12), lo_start, hi_end,
+                pspan_planck)
+
+    s_lo, s_hi, lo_start, hi_end, s_planck = (int(x) for x in
+        jax.device_get(spans(jnp.asarray(pressure_hl),
+                             jnp.asarray(temperature_hl))))
+    nlev = np.shape(pressure_hl)[1] - 1
+    lo = (lo_start, nlev)          # level slice where lower tables used
+    hi = (0, hi_end)               # level slice where upper tables used
 
     windows = {
-        "lw/m1lo": s_lo, "lw/m1hi": s_hi,
-        "sw/m1lo": s_lo, "sw/m1hi": s_hi,
+        "lw/m1lo": (s_lo,) + lo, "lw/m1hi": (s_hi,) + hi,
+        "sw/m1lo": (s_lo,) + lo, "sw/m1hi": (s_hi,) + hi,
+        "lw/planck": s_planck,
     }
     # LW lower eta bands: njs=9, eta-edge offsets d in [-1, 2], js<=7
     # => js+d in [-1, 9]: 11 values
     for name in ("h2oco2", "h2oo3", "h2och4", "h2on2o", "n2oco2"):
-        windows[f"lw/m2lo/{name}"] = (s_lo - 1) * 9 + 11
+        windows[f"lw/m2lo/{name}"] = ((s_lo - 1) * 9 + 11,) + lo
     # LW upper eta bands (3,4,5): njs=5, js in [0,3], djs in {0,1}
     for band in (3, 4, 5):
-        windows[f"lw/m2hi/{band}"] = (s_hi - 1) * 5 + 5
+        windows[f"lw/m2hi/{band}"] = ((s_hi - 1) * 5 + 5,) + hi
     # SW: njs=9 lower (js+djs in [0,8]) / njs=5 upper (js+djs in [0,4])
     for band in range(16, 30):
-        windows[f"sw/m2lo/{band}"] = (s_lo - 1) * 9 + 9
-        windows[f"sw/m2hi/{band}"] = (s_hi - 1) * 5 + 5
+        windows[f"sw/m2lo/{band}"] = ((s_lo - 1) * 9 + 9,) + lo
+        windows[f"sw/m2hi/{band}"] = ((s_hi - 1) * 5 + 5,) + hi
     return windows
 
 
@@ -128,16 +153,18 @@ def _planck_interp_index(temperature):
     return ind - 1, frac
 
 
-def _planck_store(totplnk, delwave, temperature):
+def _planck_store(totplnk, delwave, temperature, key=None):
     """Planck flux per LW band at given temperatures.
 
-    temperature (...,) → (..., nbands)."""
+    temperature (...,) → (..., nbands).  key: level-window key when
+    temperature is (ncol, nlev+1)."""
     from ecrad_tpu.optics.rrtmg_interp import weighted_take
     totplnk = jnp.asarray(totplnk)                # (181, 16)
     delwave = jnp.asarray(delwave)
     ind, frac = _planck_interp_index(temperature)
     p = weighted_take(totplnk, [(ind, 1.0 - frac),
-                                (jnp.clip(ind + 1, 0, 180), frac)])
+                                (jnp.clip(ind + 1, 0, 180), frac)],
+                      key=key)
     return FLUXFAC * delwave * p
 
 
@@ -180,7 +207,8 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
         band_from_g = jnp.asarray(tables["lw_band_from_g"])
         planck_bands_hl = _planck_store(tables["totplnk"],
                                         tables["delwave"],
-                                        temperature_hl)  # (ncol,nlev+1,16)
+                                        temperature_hl,
+                                        key="lw/planck")  # (ncol,nlev+1,16)
         from ecrad_tpu.optics.rrtmg_interp import take_bands
         planck_g_hl = take_bands(planck_bands_hl, band_from_g)
         pfrac_hl = jnp.concatenate([pfrac[:, :1], pfrac], axis=1)

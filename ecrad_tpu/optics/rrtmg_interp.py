@@ -106,21 +106,40 @@ def pair_span(pairs):
 
 
 def _window_width(key, nrows):
+    """Resolve a key to (width, lev_start, lev_end) or None.
+
+    Installed values are either a plain width or a (width, ls, le)
+    tuple; ``ls``/``le`` restrict the computation to a level slice
+    (results outside are zeros — valid when the caller's tropo mask
+    never selects them, the laytrop structure of the RRTMG tables)."""
     if _LEVEL_WINDOWS is None or key is None:
         return None
     w = _LEVEL_WINDOWS.get(key)
     if w is None:
         return None
+    ls, le = 0, None
+    if isinstance(w, tuple):
+        w, ls, le = w
     w = min(_round_up8(w), nrows)
-    return None if w >= nrows else w
+    if w >= nrows and ls == 0 and le is None:
+        return None
+    return min(w, nrows), ls, le
 
 
-def _weighted_take_windowed(table, pairs, width):
+def _weighted_take_windowed(table, pairs, width, ls=0, le=None):
     """Level-windowed weighted_take.  idx arrays (ncol, nlev); returns
-    (ncol, nlev, ng).  Exact when width covers the true per-level span
-    (guaranteed by the driver probe)."""
+    (ncol, nlev, ng) with zeros outside the [ls, le) level slice.
+    Exact when width covers the true per-level span (guaranteed by the
+    driver probe)."""
     table = jnp.asarray(table)
     nrows = table.shape[0]
+    nlev_full = pairs[0][0].shape[1]
+    le = nlev_full if le is None else min(le, nlev_full)
+    ls = max(0, min(ls, le))
+    if ls > 0 or le < nlev_full:
+        pairs = [(idx[:, ls:le],
+                  None if w is None else w[:, ls:le])
+                 for idx, w in pairs]
     # per-level base row = min over pairs/columns
     off = None
     for idx, _ in pairs:
@@ -150,6 +169,8 @@ def _weighted_take_windowed(table, pairs, width):
         A, twin, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=table.dtype,
         precision=jax.lax.Precision.HIGH)            # (nlev, ncol, ng)
+    if ls > 0 or le < nlev_full:
+        out = jnp.pad(out, ((ls, nlev_full - le), (0, 0), (0, 0)))
     return jnp.moveaxis(out, 0, 1)
 
 
@@ -176,9 +197,9 @@ def weighted_take(table, pairs, key=None):
                 t = w[..., None] * t
             out = t if out is None else out + t
         return out
-    width = _window_width(key, nrows)
-    if width is not None:
-        return _weighted_take_windowed(table, pairs, width)
+    win = _window_width(key, nrows)
+    if win is not None:
+        return _weighted_take_windowed(table, pairs, *win)
     iota = jnp.arange(nrows, dtype=jnp.int32)
     A = None
     for idx, w in pairs:

@@ -364,12 +364,39 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
         ri2 = jax.random.uniform(k4, (nlev, ng), frac.dtype)
         return trig, rc, ri, ri2
 
-    trigger, rand_cloud, rand_inhom, rand_inhom2 = jax.vmap(draw)(keys)
-    trigger = trigger * total_cloud_cover[:, None]      # (ncol, ng)
-
     is_any_cloud = frac >= config.cloud_fraction_threshold
 
-    # prepend a dummy level-(-1) for the jlev-1 accesses
+    from ecrad_tpu.solvers.adding import _mode as _adding_mode
+    if _adding_mode() == "pallas":
+        # Pallas scan kernel: identical per-column threefry streams
+        # (same draws, columns vmapped onto lanes), carries in VMEM
+        cdf = _generator_scan_pallas(
+            config, keys, draw, frac, cum, pair, overhang, op_inhom,
+            is_any_cloud, total_cloud_cover, exp_exp, ng)
+    else:
+        cdf = _generator_scan_jnp(
+            config, keys, draw, frac, cum, pair, overhang, op_inhom,
+            is_any_cloud, total_cloud_cover, exp_exp, ng)
+
+    if pdf_tables.get("cheb_fit") is not None:
+        sampled = sample_pdf_cheb(pdf_tables["cheb_fit"],
+                                  fractional_std[..., None], cdf)
+    else:
+        sampled = sample_pdf_jnp(pdf_tables, fractional_std[..., None],
+                                 cdf)
+    od_scaling = jnp.where(cdf > 0.0, sampled, 0.0)
+    od_scaling = jnp.where(is_any_cloud[..., None], od_scaling, 0.0)
+
+    tcc = jnp.where(total_cloud_cover
+                    >= config.cloud_fraction_threshold,
+                    total_cloud_cover, 0.0)
+    od_scaling = jnp.where(tcc[:, None, None] > 0.0, od_scaling, 0.0)
+    return od_scaling, tcc
+
+
+def _m1_fields(frac, cum, pair, overhang, op_inhom):
+    """Per-level fields shifted to the jlev-1 position (dummy level -1
+    prepended)."""
     frac_m1 = jnp.concatenate([jnp.zeros_like(frac[:, :1]),
                                frac[:, :-1]], axis=1)
     cum_m1 = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]],
@@ -380,6 +407,46 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
                                overhang], axis=1)
     op_m1 = jnp.concatenate([jnp.zeros_like(op_inhom[:, :1]), op_inhom],
                             axis=1)
+    return frac_m1, cum_m1, pair_m1, over_m1, op_m1
+
+
+def _generator_scan_pallas(config, keys, draw, frac, cum, pair, overhang,
+                           op_inhom, is_any_cloud, total_cloud_cover,
+                           exp_exp, ng):
+    """Kernel-based level scan (solvers/pallas_generator.py): identical
+    recurrence and random streams as _generator_scan_jnp."""
+    from ecrad_tpu.solvers import pallas_generator
+    from ecrad_tpu.solvers.adding import _kernel_cols, _pad_cols
+
+    ncol, nlev = frac.shape
+    ncolp = _kernel_cols(ncol)
+    # columns vmapped onto the trailing (lane) axis — same draws
+    trigger, rc, ri, ri2 = jax.vmap(draw, out_axes=(1, 2, 2, 2))(keys)
+    trigger = trigger * total_cloud_cover[None, :]      # (ng, ncol)
+
+    frac_m1, cum_m1, pair_m1, over_m1, op_m1 = _m1_fields(
+        frac, cum, pair, overhang, op_inhom)
+    scalars = jnp.stack(
+        [is_any_cloud.astype(frac.dtype), frac, frac_m1, cum, cum_m1,
+         pair_m1, over_m1, op_m1], axis=0)              # (8, ncol, nlev)
+    scalars = _pad_cols(jnp.transpose(scalars, (2, 0, 1)), ncolp)
+
+    cdf = pallas_generator.generator_scan(
+        _pad_cols(rc, ncolp), _pad_cols(ri, ncolp),
+        _pad_cols(ri2, ncolp), scalars, _pad_cols(trigger, ncolp),
+        exp_exp)
+    return jnp.transpose(cdf[:, :, :ncol], (2, 0, 1))   # (ncol, nlev, ng)
+
+
+def _generator_scan_jnp(config, keys, draw, frac, cum, pair, overhang,
+                        op_inhom, is_any_cloud, total_cloud_cover,
+                        exp_exp, ng):
+    ncol, nlev = frac.shape
+    trigger, rand_cloud, rand_inhom, rand_inhom2 = jax.vmap(draw)(keys)
+    trigger = trigger * total_cloud_cover[:, None]      # (ncol, ng)
+
+    frac_m1, cum_m1, pair_m1, over_m1, op_m1 = _m1_fields(
+        frac, cum, pair, overhang, op_inhom)
 
     lev = lambda a: jnp.moveaxis(a, 1, 0)
 
@@ -417,19 +484,4 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
           lev(cum_m1), lev(pair_m1), lev(over_m1), lev(op_m1),
           lev(rand_cloud), lev(rand_inhom), lev(rand_inhom2))
     _, ri_levels = jax.lax.scan(scan_step, init, xs)
-    cdf = jnp.moveaxis(ri_levels, 0, 1)                 # (ncol, nlev, ng)
-
-    if pdf_tables.get("cheb_fit") is not None:
-        sampled = sample_pdf_cheb(pdf_tables["cheb_fit"],
-                                  fractional_std[..., None], cdf)
-    else:
-        sampled = sample_pdf_jnp(pdf_tables, fractional_std[..., None],
-                                 cdf)
-    od_scaling = jnp.where(cdf > 0.0, sampled, 0.0)
-    od_scaling = jnp.where(is_any_cloud[..., None], od_scaling, 0.0)
-
-    tcc = jnp.where(total_cloud_cover
-                    >= config.cloud_fraction_threshold,
-                    total_cloud_cover, 0.0)
-    od_scaling = jnp.where(tcc[:, None, None] > 0.0, od_scaling, 0.0)
-    return od_scaling, tcc
+    return jnp.moveaxis(ri_levels, 0, 1)                # (ncol, nlev, ng)

@@ -59,10 +59,28 @@ def test_window_installation_scoping():
     assert ri.get_level_windows() == {"x": 16}
     # width >= nrows disables windowing for that key
     assert ri._window_width("x", 10) is None
-    assert ri._window_width("x", 100) == 16
+    assert ri._window_width("x", 100) == (16, 0, None)
     assert ri._window_width("y", 100) is None
+    # (width, lev_start, lev_end) form restricts the level slice
+    ri.set_level_windows({"x": (16, 3, 9)})
+    assert ri._window_width("x", 100) == (16, 3, 9)
     ri.set_level_windows(None)
     assert ri.get_level_windows() is None
+
+
+def test_windowed_level_slice():
+    """Level-sliced windowed take zeroes levels outside [ls, le) and
+    matches the full computation inside."""
+    rng = np.random.default_rng(3)
+    ncol, nlev, nrows, ng = 8, 13, 60, 5
+    table = jnp.asarray(rng.random((nrows, ng)), jnp.float32)
+    pairs = _random_levelled_pairs(rng, ncol, nlev, nrows, 4, 10)
+    ref = np.asarray(_full_reference(table, pairs))
+    got = np.asarray(ri._weighted_take_windowed(table, pairs, 16,
+                                                ls=2, le=10))
+    np.testing.assert_allclose(got[:, 2:10], ref[:, 2:10], rtol=5e-6,
+                               atol=5e-7)
+    assert (got[:, :2] == 0).all() and (got[:, 10:] == 0).all()
 
 
 def test_probe_covers_meridian_spans():
