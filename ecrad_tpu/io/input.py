@@ -181,9 +181,11 @@ def _reverse_levels(inp: "RadiationInput") -> "RadiationInput":
 
 
 def read_input(path: str, driver_config: Optional[DriverConfig] = None,
-               dtype=np.float64) -> RadiationInput:
+               dtype=np.float64, col_range=None) -> RadiationInput:
+    """col_range=(start, stop): per-host sharded read — only that
+    column slab is read from disk (see io/netcdf.NcFile)."""
     dc = driver_config or DriverConfig()
-    with NcFile(path) as f:
+    with NcFile(path, col_range=col_range) as f:
         pressure_hl = f.get("pressure_hl", dtype)
         temperature_hl = f.get("temperature_hl", dtype)
         ncol, nhl = pressure_hl.shape
@@ -247,8 +249,10 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         if f.exists("iseed"):
             iseed = f.get("iseed", None).astype(np.int64)
         else:
-            # init_seed_simple (radiation_single_level.F90:98)
-            iseed = np.arange(1, ncol + 1, dtype=np.int64)
+            # init_seed_simple (radiation_single_level.F90:98) — global
+            # column index, so a sharded read keeps identical seeds
+            c0 = col_range[0] if col_range is not None else 0
+            iseed = np.arange(c0 + 1, c0 + ncol + 1, dtype=np.int64)
 
         # --- clouds
         cloud_fraction = (f.get("cloud_fraction", dtype)

@@ -15,11 +15,28 @@ from scipy.io import netcdf_file
 
 
 class NcFile:
-    """Read-only view of a NetCDF3 file with numpy outputs."""
+    """Read-only view of a NetCDF3 file with numpy outputs.
 
-    def __init__(self, path: str):
+    ``col_range=(start, stop)``: per-host sharded read — every variable
+    whose leading dimension is the column dimension is read as that
+    slab only (lazy mmap slice, so each host touches just its columns;
+    the TPU-native analog of the reference's rank-0-read+broadcast,
+    utilities/easy_netcdf_read_mpi.F90, turned inside-out: inputs are
+    column-sharded so each host reads its own shard)."""
+
+    def __init__(self, path: str, col_range=None):
         self.path = path
-        self._f = netcdf_file(path, "r", mmap=False)
+        self._f = netcdf_file(path, "r", mmap=col_range is not None)
+        self._col_range = col_range
+        self._col_dim = None
+        if col_range is not None:
+            for cand in ("column", "col"):
+                if cand in self._f.dimensions:
+                    self._col_dim = cand
+                    break
+            if self._col_dim is None and "pressure_hl" in self._f.variables:
+                self._col_dim = \
+                    self._f.variables["pressure_hl"].dimensions[0]
 
     def close(self):
         self._f.close()
@@ -42,7 +59,12 @@ class NcFile:
     def get(self, name: str, dtype=np.float64) -> np.ndarray:
         """Read a variable as numpy array (native byte order)."""
         v = self._f.variables[name]
-        data = np.asarray(v.data)
+        if (self._col_range is not None and v.dimensions
+                and v.dimensions[0] == self._col_dim):
+            a, b = self._col_range
+            data = np.array(v[a:b], copy=True)
+        else:
+            data = np.array(v.data, copy=True)
         if data.dtype.kind in "fiu" and dtype is not None:
             data = data.astype(dtype)
         return data
