@@ -30,8 +30,13 @@ import numpy as np
 
 
 def run_ifs(config_path: str, input_path: str, output_path: str = None,
-            dtype: str = "float64", bitidentity: bool = False):
+            dtype: str = "float64", bitidentity: bool = False,
+            nproma: int = None):
     """Run the IFS-path radiation scheme on an offline input file.
+
+    nproma: NPROMA block size — routes through the ZRGP-style blocked
+    path (ecrad_tpu.ifs.blocking; the reference's ecrad_ifs_blocked
+    binary, driver/ecrad_ifs_driver_blocked.F90).
 
     Returns the radiation_scheme output dict (net fluxes +
     diagnostics, including "_flux")."""
@@ -125,11 +130,49 @@ def run_ifs(config_path: str, input_path: str, output_path: str = None,
                 if k.startswith(("od_scaling", "total_cloud_cover"))}
 
     t0 = time.time()
-    out = radiation_scheme(scheme, **kwargs)
     import jax
-    jax.block_until_ready(out["_flux"])
+    if nproma is not None and nproma < ncol:
+        # ZRGP-style blocked execution (ifs/blocking.py; reference
+        # driver/ifs_blocking.F90 + ecrad_ifs_driver_blocked.F90)
+        from ecrad_tpu.ifs import blocking
+
+        flat = {k: v for k, v in kwargs.items() if k != "cloud_extra"}
+        for k, v in (kwargs.get("cloud_extra") or {}).items():
+            flat[f"cloud_extra/{k}"] = v
+        host = {k: (np.asarray(v) if hasattr(v, "ndim") else v)
+                for k, v in flat.items()}
+        zrgp, table, scalars = blocking.copy_inputs_to_blocked(
+            host, ncol, nproma)
+        blocks = []
+        for jb in range(zrgp.shape[0]):
+            bk = blocking.block_kwargs(zrgp[jb], table, scalars)
+            ce = {k.split("/", 1)[1]: jnp.asarray(v, dt)
+                  for k, v in bk.items() if k.startswith("cloud_extra/")}
+            bk = {k: (jnp.asarray(v, dt) if hasattr(v, "ndim")
+                      and np.asarray(v).dtype.kind == "f" else v)
+                  for k, v in bk.items()
+                  if not k.startswith("cloud_extra/")}
+            if "iseed" in bk:
+                bk["iseed"] = jnp.asarray(np.asarray(bk["iseed"]),
+                                          jnp.int64 if dtype == "float64"
+                                          else jnp.int32)
+            if ce:
+                bk["cloud_extra"] = ce
+            blocks.append(radiation_scheme(scheme, **bk))
+        jax.block_until_ready(blocks[-1]["_flux"])
+        out = blocking.copy_fluxes_from_blocked(blocks, ncol)
+        out["_flux"] = jax.tree_util.tree_map(
+            lambda *xs: (None if xs[0] is None
+                         else np.concatenate([np.asarray(x) for x in xs],
+                                             axis=0)[:ncol]),
+            *[b["_flux"] for b in blocks],
+            is_leaf=lambda x: x is None or hasattr(x, "ndim"))
+    else:
+        out = radiation_scheme(scheme, **kwargs)
+        jax.block_until_ready(out["_flux"])
     print(f"ecrad_tpu ifs: {ncol} columns x {nlev} levels in "
-          f"{time.time() - t0:.3f}s")
+          f"{time.time() - t0:.3f}s"
+          + (f" (nproma={nproma})" if nproma else ""))
 
     if output_path:
         save_net_fluxes(
@@ -151,9 +194,12 @@ def main(argv=None):
     ap.add_argument("--bitidentity", action="store_true",
                     help="pin effective radii/overlap/McICA samples to "
                          "the offline driver's values")
+    ap.add_argument("--nproma", type=int, default=None,
+                    help="NPROMA block size: run the ZRGP-style blocked "
+                         "path (reference bin/ecrad_ifs_blocked)")
     args = ap.parse_args(argv)
     run_ifs(args.config, args.input, args.output, dtype=args.dtype,
-            bitidentity=args.bitidentity)
+            bitidentity=args.bitidentity, nproma=args.nproma)
 
 
 if __name__ == "__main__":

@@ -95,3 +95,57 @@ def test_uv_par_weights_ecckd():
     # erythemal action spectrum is ~1 below 298nm and <= ~1.5e-3 above
     # 328nm, so max weight should be <= 1
     assert scheme.weight_uv_bio.max() <= 1.0 + 1e-6
+
+
+def test_four_way_cross_validation(tmp_path):
+    """The reference validates 4 binaries per configuration — ecrad,
+    ecrad+net-fluxes, ecrad_ifs, ecrad_ifs_blocked — against each other
+    (test/ifs/CMakeLists.txt:70-205).  Equivalent here: offline full
+    fluxes, offline net-flux file, IFS path, and NPROMA-blocked IFS
+    path (nproma=10 => 4 blocks with padding) must agree on net fluxes
+    within the reference's dp thresholds."""
+    from ecrad_tpu.ifs.driver import run_ifs
+    from ecrad_tpu.io.input import DriverConfig, read_input
+    from ecrad_tpu.io.netcdf import NcFile
+
+    # 1) offline full-flux path
+    config = Config.from_namelist(golden.CONFIG_NAM)
+    dc = DriverConfig.from_namelist(golden.CONFIG_NAM)
+    inp = read_input(golden.INPUT_FILE, dc)
+    extra = {"aerosol": {"mixing_ratio": jnp.asarray(inp.aerosol_mmr)}}
+    flux, _ = golden.run_config(config, extra_inputs=extra)
+    net_sw = np.asarray(flux.sw_dn - flux.sw_up)
+    net_lw = np.asarray(flux.lw_dn - flux.lw_up)
+
+    # 2) offline driver writing a net-flux file
+    from ecrad_tpu.io.output import save_net_fluxes
+    net_nc = str(tmp_path / "net.nc")
+    save_net_fluxes(net_nc, config, flux,
+                    inp.thermodynamics.pressure_hl)
+    with NcFile(net_nc) as f:
+        np.testing.assert_allclose(f.get("flux_net_sw"), net_sw,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(f.get("flux_net_lw"), net_lw,
+                                   rtol=1e-6, atol=1e-6)
+
+    # 3) IFS path / 4) blocked IFS path (both bitidentity-pinned)
+    out_ifs = run_ifs(golden.CONFIG_NAM, golden.INPUT_FILE, None,
+                      bitidentity=True)
+    out_blk = run_ifs(golden.CONFIG_NAM, golden.INPUT_FILE, None,
+                      bitidentity=True, nproma=10)
+
+    for name, ref_arr in (("flux_sw", net_sw), ("flux_lw", net_lw)):
+        a_ifs = np.asarray(out_ifs[name])
+        a_blk = np.asarray(out_blk[name])
+        thr = 1e-3 if name == "flux_lw" else 1e-2
+        assert np.abs(a_ifs - ref_arr).max() < thr, name
+        assert np.abs(a_blk - ref_arr).max() < thr, name
+        # blocked vs unblocked IFS: identical executable per block =>
+        # tight agreement
+        assert np.abs(a_blk - a_ifs).max() < 1e-9, name
+
+    # blocked diagnostics match too (UV/PAR/derivatives)
+    for key in ("flux_uv", "flux_par"):
+        np.testing.assert_allclose(np.asarray(out_blk[key]),
+                                   np.asarray(out_ifs[key]),
+                                   rtol=1e-9, atol=1e-9)
