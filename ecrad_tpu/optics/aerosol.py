@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -273,43 +274,32 @@ def aerosol_band_properties(config: Config, tables: Dict, pressure_hl,
     Returns dict od_sw/scat_sw/scatg_sw (ncol,nlev,nband_sw) + lw same.
     """
     factor = (pressure_hl[:, 1:] - pressure_hl[:, :-1]) / ACCEL_GRAVITY
-    irh = calc_rh_index(rh, tables["rh_lower"]) \
-        if tables["use_hydrophilic"] else None
 
     nb_sw = tables["mass_ext_sw_phobic"].shape[0]
     nb_lw = tables["mass_ext_lw_phobic"].shape[0]
-    shape_sw = factor.shape + (nb_sw,)
-    shape_lw = factor.shape + (nb_lw,)
-    od_sw = jnp.zeros(shape_sw, factor.dtype)
-    scat_sw = jnp.zeros(shape_sw, factor.dtype)
-    scatg_sw = jnp.zeros(shape_sw, factor.dtype)
-    od_lw = jnp.zeros(shape_lw, factor.dtype)
-    scat_lw = jnp.zeros(shape_lw, factor.dtype)
-    scatg_lw = jnp.zeros(shape_lw, factor.dtype)
+    nprop = 3 * (nb_sw + nb_lw)
 
-    philic = None
+    # The whole per-band aerosol accumulation is ONE contraction:
+    #   out[n, p] = sum_slots mr_slot[n] * T_slot(rh_bin[n])[p]
+    # with p running over (od|scat|scatg) x (sw bands|lw bands).  Each
+    # phobic slot contributes one row of the (K, nprop) table; each
+    # hydrophilic slot contributes nrh rows selected by the one-hot RH
+    # bin (radiation_aerosol_optics.F90:560-660 restructured: the type
+    # loop and RH lookup fold into the matmul instead of materializing
+    # per-(property,type) RH-interpolated fields — the previous
+    # formulation built a ~1.3 GB (ncol,nlev,1170) intermediate).
+    def prop_row(me, ss, gg):
+        return np.concatenate([me, me * ss, me * ss * gg])
+
+    rows = []            # table rows, each (nprop,)
+    weights = []         # per-row weight builders, evaluated lazily
+    mr_slots = []
+    onehot_rh = None
     if tables["use_hydrophilic"]:
-        # One fused RH-bin lookup for every (property, type) pair: the
-        # per-type jnp.take gathers each lowered to a slow TPU gather
-        # (~25 ms/step at ncol=2048); packed into a single (nrh, ·)
-        # matrix they become one one-hot MXU product.
-        from ecrad_tpu.optics.rrtmg_interp import weighted_take
-        _keys = ("mass_ext_sw_philic", "ssa_sw_philic", "g_sw_philic",
-                 "mass_ext_lw_philic", "ssa_lw_philic", "g_lw_philic")
-        mats, spans, off = [], {}, 0
-        for k in _keys:
-            t = np.asarray(tables[k])               # (nband, ntype, nrh)
-            nb = t.shape[0]
-            for it in range(t.shape[1]):
-                mats.append(t[:, it, :].T)          # (nrh, nband)
-                spans[(k, it)] = (off, off + nb)
-                off += nb
-        philic_all = weighted_take(np.concatenate(mats, axis=1),
-                                   [(irh, None)])
-
-        def philic(key, itype):
-            a, b = spans[(key, itype)]
-            return philic_all[..., a:b]
+        irh = calc_rh_index(rh, tables["rh_lower"])
+        nrh = np.asarray(tables["rh_lower"]).shape[0]
+        onehot_rh = (irh[..., None]
+                     == jnp.arange(nrh)).astype(factor.dtype)
 
     for jtype, mapping in enumerate(config.i_aerosol_type_map):
         if jtype >= aerosol_mmr.shape[-1] or mapping == 0:
@@ -317,34 +307,59 @@ def aerosol_band_properties(config: Config, tables: Dict, pressure_hl,
         mr = factor * aerosol_mmr[:, :, jtype]      # (ncol, nlev)
         if mapping > 0:
             itype = mapping - 1
-            me_sw = jnp.asarray(tables["mass_ext_sw_phobic"][:, itype])
-            ss_sw = jnp.asarray(tables["ssa_sw_phobic"][:, itype])
-            gg_sw = jnp.asarray(tables["g_sw_phobic"][:, itype])
-            me_lw = jnp.asarray(tables["mass_ext_lw_phobic"][:, itype])
-            ss_lw = jnp.asarray(tables["ssa_lw_phobic"][:, itype])
-            gg_lw = jnp.asarray(tables["g_lw_phobic"][:, itype])
-            lod_sw = mr[..., None] * me_sw
-            lod_lw = mr[..., None] * me_lw
+            rows.append(np.concatenate([
+                prop_row(
+                    np.asarray(tables["mass_ext_sw_phobic"][:, itype]),
+                    np.asarray(tables["ssa_sw_phobic"][:, itype]),
+                    np.asarray(tables["g_sw_phobic"][:, itype])),
+                prop_row(
+                    np.asarray(tables["mass_ext_lw_phobic"][:, itype]),
+                    np.asarray(tables["ssa_lw_phobic"][:, itype]),
+                    np.asarray(tables["g_lw_phobic"][:, itype]))]))
+            weights.append(("phobic", len(mr_slots)))
         else:
             itype = -mapping - 1
-            # philic tables: batched RH-bin lookup (see philic above)
-            me_sw = philic("mass_ext_sw_philic", itype)
-            ss_sw = philic("ssa_sw_philic", itype)
-            gg_sw = philic("g_sw_philic", itype)
-            me_lw = philic("mass_ext_lw_philic", itype)
-            ss_lw = philic("ssa_lw_philic", itype)
-            gg_lw = philic("g_lw_philic", itype)
-            lod_sw = mr[..., None] * me_sw
-            lod_lw = mr[..., None] * me_lw
-        od_sw = od_sw + lod_sw
-        scat_sw = scat_sw + lod_sw * ss_sw
-        scatg_sw = scatg_sw + lod_sw * ss_sw * gg_sw
-        od_lw = od_lw + lod_lw
-        scat_lw = scat_lw + lod_lw * ss_lw
-        scatg_lw = scatg_lw + lod_lw * ss_lw * gg_lw
+            for r in range(nrh):
+                rows.append(np.concatenate([
+                    prop_row(
+                        np.asarray(
+                            tables["mass_ext_sw_philic"][:, itype, r]),
+                        np.asarray(tables["ssa_sw_philic"][:, itype, r]),
+                        np.asarray(tables["g_sw_philic"][:, itype, r])),
+                    prop_row(
+                        np.asarray(
+                            tables["mass_ext_lw_philic"][:, itype, r]),
+                        np.asarray(tables["ssa_lw_philic"][:, itype, r]),
+                        np.asarray(tables["g_lw_philic"][:, itype, r]))]))
+                weights.append(("philic", len(mr_slots), r))
+        mr_slots.append(mr)
 
-    return dict(od_sw=od_sw, scat_sw=scat_sw, scatg_sw=scatg_sw,
-                od_lw=od_lw, scat_lw=scat_lw, scatg_lw=scatg_lw)
+    if not rows:
+        zsw = jnp.zeros(factor.shape + (nb_sw,), factor.dtype)
+        zlw = jnp.zeros(factor.shape + (nb_lw,), factor.dtype)
+        return dict(od_sw=zsw, scat_sw=zsw, scatg_sw=zsw,
+                    od_lw=zlw, scat_lw=zlw, scatg_lw=zlw)
+
+    table = np.stack(rows)                          # (K, 3(nbsw+nblw))
+    wcols = []
+    for w in weights:
+        mr = mr_slots[w[1]]
+        if w[0] == "phobic":
+            wcols.append(mr[..., None])
+        else:
+            wcols.append((mr * onehot_rh[..., w[2]])[..., None])
+    W = jnp.concatenate(wcols, axis=-1)             # (ncol, nlev, K)
+    out = jnp.dot(W.reshape(-1, W.shape[-1]),
+                  jnp.asarray(table, factor.dtype),
+                  preferred_element_type=factor.dtype,
+                  precision=jax.lax.Precision.HIGH)
+    out = out.reshape(factor.shape + (nprop,))
+
+    s = np.cumsum([0, nb_sw, nb_sw, nb_sw, nb_lw, nb_lw, nb_lw])
+    return dict(od_sw=out[..., s[0]:s[1]], scat_sw=out[..., s[1]:s[2]],
+                scatg_sw=out[..., s[2]:s[3]],
+                od_lw=out[..., s[3]:s[4]], scat_lw=out[..., s[4]:s[5]],
+                scatg_lw=out[..., s[5]:s[6]])
 
 
 def delta_eddington_extensive(od, scat, scatg):

@@ -50,12 +50,27 @@ def _col_block(ncolp):
     return min(ncolp, 512)
 
 
-def _expand_bands(x_b, gcounts):
-    """(nband, cb) per-band values -> (ng, cb) per-g rows (static
-    staircase: bands own contiguous g ranges; exact replication)."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(x_b[i:i + 1], (gcounts[i], x_b.shape[1]))
-         for i in range(len(gcounts))], axis=0)
+def band_expand_matrix(gcounts, dtype):
+    """(ng, nband) 0/1 staircase matrix: bands own contiguous g ranges
+    (RRTMG band-major ordering)."""
+    nband = len(gcounts)
+    reps = np.repeat(np.arange(nband), gcounts)
+    return np.asarray(reps[:, None] == np.arange(nband), dtype)
+
+
+def _expand_bands(x_b, exp_ref):
+    """(nband, cb) per-band values -> (ng, cb) per-g rows via the 0/1
+    one-hot matmul — rides the otherwise-idle MXU (HIGH precision: pure
+    selection is exact in bf16-triple arithmetic) instead of a chain of
+    sublane-misaligned copies.  exp_ref: (ng, nband) kernel input."""
+    # HIGHEST: Mosaic's in-kernel dot supports DEFAULT/HIGHEST only;
+    # the matrix is tiny so the extra passes are free, and 0/1
+    # selection is exact in any pass scheme
+    return jax.lax.dot_general(
+        exp_ref[:], x_b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=x_b.dtype,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _merge_lw(od, odc_g, ssac_g, gc_g, mask):
@@ -90,14 +105,14 @@ def _merge_sw(od, ssa, g, odc_g, ssac_g, gc_g, mask):
 
 
 def _lw_layer_total(od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref,
-                    mask_ref, ptop, pbot, gcounts):
+                    exp_ref, mask_ref, ptop, pbot, gcounts):
     """Total-sky blended layer coefficients at the current level."""
     od = od_ref[0]
     trans_c, s_up_c, s_dn_c = two_stream.lw_no_scattering_trans(
         od, ptop, pbot)
-    odc_g = odscal_ref[0] * _expand_bands(odcb_ref[0], gcounts)
-    ssac_g = _expand_bands(ssacb_ref[0], gcounts)
-    gc_g = _expand_bands(gcb_ref[0], gcounts)
+    odc_g = odscal_ref[0] * _expand_bands(odcb_ref[0], exp_ref)
+    ssac_g = _expand_bands(ssacb_ref[0], exp_ref)
+    gc_g = _expand_bands(gcb_ref[0], exp_ref)
     mask = mask_ref[0] != 0.0                      # (1, cb) -> broadcast
     od_t, ssa_t, g_t = _merge_lw(od, odc_g, ssac_g, gc_g, mask)
     refl_m, trans_m, s_up_m, s_dn_m = two_stream.lw_ref_trans(
@@ -134,7 +149,7 @@ def _lw_p1_kernel(od_ref, ptop_ref, pbot_ref,
 
 
 def _lw_p2_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
-                  gcb_ref, mask_ref, ptop_ref, pbot_ref,
+                  gcb_ref, exp_ref, mask_ref, ptop_ref, pbot_ref,
                   fup0_ref, alb0_ref, emis_ref,
                   alb_below_ref, src_below_ref, up_bb_ref, fup_toa_ref,
                   src_top_ref, fup_c, alb_t, src_t, acc):
@@ -151,8 +166,8 @@ def _lw_p2_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
         src_t[:] = emis_ref[:]
 
     (trans_c, s_up_c, _), (refl, trans, s_up, s_dn) = _lw_layer_total(
-        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
-        ptop_ref[0], pbot_ref[0], gcounts)
+        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+        mask_ref, ptop_ref[0], pbot_ref[0], gcounts)
 
     # clear: affine up
     fup_new = trans_c * fup_c[:] + s_up_c
@@ -176,7 +191,7 @@ def _lw_p2_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
 
 
 def _lw_p3_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
-                  gcb_ref, mask_ref, ptop_ref, pbot_ref,
+                  gcb_ref, exp_ref, mask_ref, ptop_ref, pbot_ref,
                   alb_below_ref, src_below_ref,
                   dn_bb_ref, up_bb_ref, fdn_surf_ref,
                   fdn, dn_acc, up_acc):
@@ -190,8 +205,8 @@ def _lw_p3_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
         fdn[:] = jnp.zeros_like(fdn)
 
     _, (refl, trans, _, s_dn) = _lw_layer_total(
-        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
-        ptop_ref[0], pbot_ref[0], gcounts)
+        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+        mask_ref, ptop_ref[0], pbot_ref[0], gcounts)
     alb_below = alb_below_ref[0]
     src_below = src_below_ref[0]
     inv = 1.0 / (1.0 - alb_below * refl)
@@ -209,7 +224,7 @@ def _lw_p3_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
 
 
 def _lw_deriv_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
-                     gcb_ref, mask_ref, ptop_ref, pbot_ref,
+                     gcb_ref, exp_ref, mask_ref, ptop_ref, pbot_ref,
                      d0c_ref, d0t_ref, deriv_c_ref, deriv_t_ref,
                      dc, dt_, acc_c, acc_t):
     """Hogan-Bozzo LW derivatives for clear and total sky in one upward
@@ -224,8 +239,8 @@ def _lw_deriv_kernel(gcounts, od_ref, odscal_ref, odcb_ref, ssacb_ref,
         dt_[:] = d0t_ref[:]
 
     (trans_c, _, _), (_, trans_t, _, _) = _lw_layer_total(
-        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
-        ptop_ref[0], pbot_ref[0], gcounts)
+        od_ref, odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+        mask_ref, ptop_ref[0], pbot_ref[0], gcounts)
     dc_new = dc[:] * trans_c
     dt_new = dt_[:] * trans_t
     dc[:] = dc_new
@@ -271,6 +286,8 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
     pbot_r = pl.BlockSpec((1, ng, cb), lambda i, l: (nlev - l, 0, i))
     col = pl.BlockSpec((ng, cb), lambda i, l: (0, i))
     bb = pl.BlockSpec((nlev, cb), lambda i, l: (0, i))
+    exp_spec = pl.BlockSpec((ng, nband), lambda i, l: (0, 0))
+    expand = jnp.asarray(band_expand_matrix(gcounts, dt))
 
     # P1: clear-sky downward
     dn_bb_c, fdn_surf_c = pl.pallas_call(
@@ -288,8 +305,8 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
     # P2: clear up + total Möbius up (reverse level order)
     p2 = pl.pallas_call(
         functools.partial(_lw_p2_kernel, gcounts), grid=grid,
-        in_specs=[rev, rev, rev_b, rev_b, rev_b, rev_m, ptop_r, pbot_r,
-                  col, col, col],
+        in_specs=[rev, rev, rev_b, rev_b, rev_b, exp_spec, rev_m,
+                  ptop_r, pbot_r, col, col, col],
         out_specs=(rev, rev, bb, col, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
@@ -300,15 +317,15 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
-    )(od, od_scaling, odc_b, ssac_b, gc_b, mask, planck_hl, planck_hl,
-      fup_surf_c, albedo, emission)
+    )(od, od_scaling, odc_b, ssac_b, gc_b, expand, mask, planck_hl,
+      planck_hl, fup_surf_c, albedo, emission)
     alb_below, src_below, up_bb_c, fup_toa_c, src_top_t = p2
 
     # P3: total-sky downward
     dn_bb_t, up_bb_t, fdn_surf_t = pl.pallas_call(
         functools.partial(_lw_p3_kernel, gcounts), grid=grid,
-        in_specs=[lev, lev, lev_b, lev_b, lev_b, lev_m, ptop, pbot,
-                  lev, lev],
+        in_specs=[lev, lev, lev_b, lev_b, lev_b, exp_spec, lev_m,
+                  ptop, pbot, lev, lev],
         out_specs=(bb, bb, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
@@ -316,8 +333,8 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
-    )(od, od_scaling, odc_b, ssac_b, gc_b, mask, planck_hl, planck_hl,
-      alb_below, src_below)
+    )(od, od_scaling, odc_b, ssac_b, gc_b, expand, mask, planck_hl,
+      planck_hl, alb_below, src_below)
 
     fup_surf_t = albedo * fdn_surf_t + emission
     out = dict(dn_bb_c=dn_bb_c, fdn_surf_c=fdn_surf_c,
@@ -334,8 +351,8 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
             jnp.sum(fup_surf_t, axis=0, keepdims=True), eps)
         deriv_c, deriv_t = pl.pallas_call(
             functools.partial(_lw_deriv_kernel, gcounts), grid=grid,
-            in_specs=[rev, rev, rev_b, rev_b, rev_b, rev_m, ptop_r,
-                      pbot_r, col, col],
+            in_specs=[rev, rev, rev_b, rev_b, rev_b, exp_spec, rev_m,
+                      ptop_r, pbot_r, col, col],
             out_specs=(bb, bb),
             out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                        jax.ShapeDtypeStruct((nlev, ncolp), dt)),
@@ -343,8 +360,8 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
                             pltpu.VMEM((ng, cb), dt),
                             pltpu.VMEM((nlev, cb), dt),
                             pltpu.VMEM((nlev, cb), dt)],
-        )(od, od_scaling, odc_b, ssac_b, gc_b, mask, planck_hl,
-          planck_hl, d0c, d0t)
+        )(od, od_scaling, odc_b, ssac_b, gc_b, expand, mask,
+          planck_hl, planck_hl, d0c, d0t)
         out["deriv_c"] = deriv_c
         out["deriv_t"] = deriv_t
     return out
@@ -356,15 +373,15 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
 
 
 def _sw_layers(gcounts, delta_gases, od_ref, ssa_ref, g_ref, odscal_ref,
-               odcb_ref, ssacb_ref, gcb_ref, mask_ref, mu0_ref):
+               odcb_ref, ssacb_ref, gcb_ref, exp_ref, mask_ref, mu0_ref):
     """Clear and total-sky Meador-Weaver coefficients at one level."""
     od = od_ref[0]
     ssa = ssa_ref[0]
     g = g_ref[0]
     mu0 = mu0_ref[0]                                 # (1, cb)
-    odc_g = odscal_ref[0] * _expand_bands(odcb_ref[0], gcounts)
-    ssac_g = _expand_bands(ssacb_ref[0], gcounts)
-    gc_g = _expand_bands(gcb_ref[0], gcounts)
+    odc_g = odscal_ref[0] * _expand_bands(odcb_ref[0], exp_ref)
+    ssac_g = _expand_bands(ssacb_ref[0], exp_ref)
+    gc_g = _expand_bands(gcb_ref[0], exp_ref)
     mask = mask_ref[0] != 0.0
     od_t, ssa_t, g_t = _merge_sw(od, ssa, g, odc_g, ssac_g, gc_g, mask)
     if delta_gases:
@@ -377,7 +394,8 @@ def _sw_layers(gcounts, delta_gases, od_ref, ssa_ref, g_ref, odscal_ref,
 
 
 def _sw_s1_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
-                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
+                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+                  mask_ref,
                   mu0_ref, inc_ref,
                   ftc_ref, ftt_ref, dir_bb_c_ref, dir_bb_t_ref,
                   fdir_surf_c_ref, fdir_surf_t_ref,
@@ -394,7 +412,7 @@ def _sw_s1_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
 
     cl, tot = _sw_layers(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
                          odscal_ref, odcb_ref, ssacb_ref, gcb_ref,
-                         mask_ref, mu0_ref)
+                         exp_ref, mask_ref, mu0_ref)
     tdd_c = cl[4]
     tdd_t = tot[4]
     ftc_ref[0] = fdir_c[:]
@@ -415,7 +433,8 @@ def _sw_s1_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
 
 
 def _sw_s2_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
-                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
+                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+                  mask_ref,
                   mu0_ref, ftc_ref, ftt_ref, alb0_ref, src0c_ref,
                   src0t_ref,
                   albb_c_ref, srcb_c_ref, albb_t_ref, srcb_t_ref,
@@ -435,7 +454,7 @@ def _sw_s2_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
 
     cl, tot = _sw_layers(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
                          odscal_ref, odcb_ref, ssacb_ref, gcb_ref,
-                         mask_ref, mu0_ref)
+                         exp_ref, mask_ref, mu0_ref)
 
     def advance(coeffs, fdir_top, alb, src, albb_ref, srcb_ref):
         refl, trans, rdir, tdd, _ = coeffs
@@ -459,7 +478,8 @@ def _sw_s2_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
 
 
 def _sw_s3_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
-                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, mask_ref,
+                  odscal_ref, odcb_ref, ssacb_ref, gcb_ref, exp_ref,
+                  mask_ref,
                   mu0_ref, ftc_ref, ftt_ref,
                   albb_c_ref, srcb_c_ref, albb_t_ref, srcb_t_ref,
                   dn_bb_c_ref, up_bb_c_ref, dn_bb_t_ref, up_bb_t_ref,
@@ -477,7 +497,7 @@ def _sw_s3_kernel(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
 
     cl, tot = _sw_layers(gcounts, delta_gases, od_ref, ssa_ref, g_ref,
                          odscal_ref, odcb_ref, ssacb_ref, gcb_ref,
-                         mask_ref, mu0_ref)
+                         exp_ref, mask_ref, mu0_ref)
 
     def advance(coeffs, fdir_top, fdn, albb_ref, srcb_ref, dna, upa):
         refl, trans, _, tdd, _ = coeffs
@@ -530,12 +550,14 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
     mu0_s = pl.BlockSpec((1, cb), lambda i, l: (0, i))
     col = pl.BlockSpec((ng, cb), lambda i, l: (0, i))
     bb = pl.BlockSpec((nlev, cb), lambda i, l: (0, i))
+    exp_spec = pl.BlockSpec((ng, nband), lambda i, l: (0, 0))
+    expand = jnp.asarray(band_expand_matrix(gcounts, dt))
 
     s1 = pl.pallas_call(
         functools.partial(_sw_s1_kernel, gcounts, delta_gases),
         grid=grid,
-        in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, lev_m,
-                  mu0_s, col],
+        in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, exp_spec,
+                  lev_m, mu0_s, col],
         out_specs=(lev, lev, bb, bb, col, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
@@ -547,7 +569,8 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
-    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, mask, mu0, incoming)
+    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, expand, mask, mu0,
+      incoming)
     ftc, ftt, dir_bb_c, dir_bb_t, fdir_surf_c, fdir_surf_t = s1
 
     src0c = alb_dir_mu0 * fdir_surf_c
@@ -556,8 +579,8 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
     s2 = pl.pallas_call(
         functools.partial(_sw_s2_kernel, gcounts, delta_gases),
         grid=grid,
-        in_specs=[rev, rev, rev, rev, rev_b, rev_b, rev_b, rev_m,
-                  mu0_s, rev, rev, col, col, col],
+        in_specs=[rev, rev, rev, rev, rev_b, rev_b, rev_b, exp_spec,
+                  rev_m, mu0_s, rev, rev, col, col, col],
         out_specs=(rev, rev, rev, rev, col, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
@@ -569,15 +592,15 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt)],
-    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, mask, mu0, ftc, ftt,
-      alb_dif, src0c, src0t)
+    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, expand, mask, mu0,
+      ftc, ftt, alb_dif, src0c, src0t)
     albb_c, srcb_c, albb_t, srcb_t, src_top_c, src_top_t = s2
 
     s3 = pl.pallas_call(
         functools.partial(_sw_s3_kernel, gcounts, delta_gases),
         grid=grid,
-        in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, lev_m,
-                  mu0_s, lev, lev, lev, lev, lev, lev],
+        in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, exp_spec,
+                  lev_m, mu0_s, lev, lev, lev, lev, lev, lev],
         out_specs=(bb, bb, bb, bb, col, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
@@ -591,8 +614,8 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                         pltpu.VMEM((nlev, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
-    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, mask, mu0, ftc, ftt,
-      albb_c, srcb_c, albb_t, srcb_t)
+    )(od, ssa, g, od_scaling, odc_b, ssac_b, gc_b, expand, mask, mu0,
+      ftc, ftt, albb_c, srcb_c, albb_t, srcb_t)
     dn_bb_c, up_bb_c, dn_bb_t, up_bb_t, fdn_surf_c, fdn_surf_t = s3
 
     return dict(

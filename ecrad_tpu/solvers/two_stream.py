@@ -185,10 +185,18 @@ def sw_ref_trans(mu0, od, ssa, g, pallas_safe=False):
 
     exponential = jnp.exp(-k * od)
     exponential2 = exponential * exponential
-    # 1 - exp(-2 k od), computed to relative accuracy (Kahan form inside
-    # Pallas kernels, which have no expm1 primitive)
-    em1 = _expm1_kahan if pallas_safe else jnp.expm1
-    one_minus_exp2 = -em1(-2.0 * k * od)
+    # 1 - exp(-2 k od), computed to relative accuracy.  Inside Pallas
+    # kernels (no expm1 primitive) the small-argument branch uses the
+    # cubic series (rel. err < x^3/24 < 5e-8 at the 0.01 threshold),
+    # reusing the already-computed exponential for the large branch —
+    # cheaper than the Kahan exp/log reconstruction and equally accurate
+    # in the conservative-scattering k -> 0 limit.
+    if pallas_safe:
+        x2 = 2.0 * k * od
+        series = x2 * (1.0 - 0.5 * x2 * (1.0 - x2 * (1.0 / 3.0)))
+        one_minus_exp2 = jnp.where(x2 < 0.01, series, 1.0 - exponential2)
+    else:
+        one_minus_exp2 = -jnp.expm1(-2.0 * k * od)
     k_mu0 = k * mu0
     one_minus_kmu0_sqr = (1.0 - k_mu0) * (1.0 + k_mu0)
     k_2_exponential = 2.0 * k * exponential

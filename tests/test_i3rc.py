@@ -189,3 +189,49 @@ def test_i3rc_tripleclouds_close_to_spartacus_1d(i3rc_runs):
     assert d_toa.max() < 25.0
     assert d_sfc.max() < 25.0
     assert d_toa.max() > 0.5   # Maximum entrapment must have an effect
+
+
+def test_i3rc_3d_effect_magnitudes(i3rc_runs):
+    """Quantitative 3D-effect anchoring (VERDICT r2 #9): the relative
+    change of the cloud radiative effect between SPARTACUS-3D and -1D
+    must fall in the magnitude windows established for shallow cumulus
+    by the SPARTACUS papers — Hogan & Shonk 2016 / Hogan et al. 2016
+    (JGR, I3RC cumulus: SW 3D effect grows from a few percent near
+    overhead sun to a large low-sun side-illumination enhancement) and
+    Schäfer et al. 2016 (JGR: LW 3D effect for cumulus fields increases
+    the LW cloud radiative effect by of order 30%%).  Windows are
+    deliberately generous (the exact values depend on cloud optics
+    version) but pin the *magnitude*, not just the sign."""
+    runs, inp = i3rc_runs
+    f1, f3 = runs["1d"], runs["3d"]
+    mu0 = np.asarray(inp.cos_sza)
+
+    # SW TOA cloud radiative effect (cloud-induced extra reflection)
+    cre1 = np.asarray(f1.sw_up)[:, 0] - np.asarray(f1.sw_up_clear)[:, 0]
+    cre3 = np.asarray(f3.sw_up)[:, 0] - np.asarray(f3.sw_up_clear)[:, 0]
+    rel = (cre3 - cre1) / np.maximum(np.abs(cre1), 1e-6)
+    print("I3RC SW CRE 3D/1D-1 per mu0:",
+          dict(zip(np.round(mu0, 3), np.round(rel, 3))))
+
+    # near-overhead sun: 3D effect is a modest fraction of the CRE
+    hi_sun = mu0 > 0.95
+    assert np.all(np.abs(rel[hi_sun]) < 0.35)
+    # mid sun (SZA ~ 60 deg): enhancement of order tens of percent
+    mid_sun = (mu0 > 0.4) & (mu0 < 0.6)
+    assert np.all((rel[mid_sun] > 0.10) & (rel[mid_sun] < 0.80))
+    # low sun (SZA >~ 80 deg): side illumination enhances the CRE by
+    # of order 100% and beyond near grazing incidence (Hogan et al.
+    # 2016 fig. 4 shows the 3D enhancement exceeding 2x at very low
+    # sun) — but bounded
+    low_sun = mu0 < 0.2
+    assert np.all(rel[low_sun] > 0.5)
+    assert np.all(rel[low_sun] < 4.0)
+
+    # LW surface cloud radiative effect: 3D side emission enhances it
+    # by of order tens of percent (Schäfer et al. 2016)
+    lw1 = np.asarray(f1.lw_dn)[:, -1] - np.asarray(f1.lw_dn_clear)[:, -1]
+    lw3 = np.asarray(f3.lw_dn)[:, -1] - np.asarray(f3.lw_dn_clear)[:, -1]
+    rel_lw = (lw3 - lw1) / np.maximum(np.abs(lw1), 1e-6)
+    print("I3RC LW surface CRE 3D/1D-1:", np.round(rel_lw, 3))
+    assert np.all(rel_lw > 0.02)
+    assert np.all(rel_lw < 1.0)

@@ -94,4 +94,7 @@ def test_sw_fused_matches_scan(props, monkeypatch):
     monkeypatch.setenv("ECRAD_TPU_ADDING", "pallas")
     with pltpu.force_tpu_interpret_mode():
         got = call()
-    _fields(got, ref)
+    # in-kernel sw_ref_trans uses the cubic-series 1-exp(-2k od) branch
+    # (two_stream.py pallas_safe) whose worst relative deviation from
+    # libm expm1 is ~x^3/24 at the 0.01 switch: allow 5e-8 relative
+    _fields(got, ref, rtol=5e-8, atol=1e-8)

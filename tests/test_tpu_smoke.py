@@ -72,3 +72,61 @@ def test_tpu_flagship_f32_vs_reference():
     sys.stderr.write(r.stderr[-2000:])
     assert r.returncode == 0 and "TPU_SMOKE_OK" in r.stdout, (
         f"TPU smoke failed rc={r.returncode}")
+
+
+_SPARTACUS_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+from ecrad_tpu.jax_setup import enable_persistent_cache
+enable_persistent_cache()
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected accelerator, got {dev}"
+print("device:", dev)
+
+from tests import golden
+from tests.test_spartacus import make_config
+
+flux, _ = golden.run_config(make_config())
+jax.block_until_ready(flux)
+
+ref = np.load(os.path.join(%(repo)r, "tests", "data",
+                           "spartacus_selfreg.npz"))
+worst = {}
+for key in ref.files:
+    cfg, field = key.split("/")
+    if cfg != "explicit":
+        continue
+    mine = np.asarray(getattr(flux, field), np.float64)
+    worst[field] = np.abs(mine - ref[key]).max()
+print("TPU f32 SPARTACUS drift vs f64 self-reg:",
+      {k: round(v, 4) for k, v in worst.items()})
+# f32 on device vs the f64 CPU golden: the reference's sp thresholds
+# (0.5 W m-2, test/ifs/CMakeLists.txt:15-18)
+bad = {k: v for k, v in worst.items() if v > 0.5}
+assert not bad, f"SPARTACUS f32 drift exceeds sp thresholds: {bad}"
+print("TPU_SPARTACUS_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="set RUN_TPU_TESTS=1 to run on the real TPU")
+def test_tpu_spartacus_f32_vs_selfreg():
+    """SPARTACUS (3D, explicit entrapment) f32 on the real device stays
+    within the reference's single-precision flux thresholds of the f64
+    self-regression goldens."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    r = subprocess.run(
+        [sys.executable, "-c", _SPARTACUS_SCRIPT % {"repo": repo}],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0 and "TPU_SPARTACUS_OK" in r.stdout, (
+        f"TPU SPARTACUS smoke failed rc={r.returncode}")
