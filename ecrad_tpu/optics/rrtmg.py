@@ -104,6 +104,13 @@ def compute_interp_windows(tables, pressure_hl, temperature_hl) -> dict:
         lo_start = jnp.min(first_tropo)
         hi_end = jnp.max(first_tropo)
 
+        # minor-gas temperature index: floor((T-180.8)/7.2) in [1,18]
+        # (rrtm_setcoef_140gp.F90); idx = jt*njs + js with jt in
+        # {ind, ind+1}, js spanning the full eta axis
+        im = jnp.clip(jnp.floor((tavel - 180.8) / 7.2)
+                      .astype(jnp.int32), 1, 18)
+        s_minor = jnp.max(jnp.max(im, axis=0) - jnp.min(im, axis=0)) + 1
+
         # LW Planck LUT index: floor(T-159) clipped to [1, 180]
         # (radiation_ifs_rrtm.F90:672-690); span over half-levels
         ind = jnp.clip(jnp.floor(thl - 159.0).astype(jnp.int32), 1, 180)
@@ -111,9 +118,9 @@ def compute_interp_windows(tables, pressure_hl, temperature_hl) -> dict:
                                - jnp.min(ind, axis=0)) + 2
 
         return (pspan(13, 0), pspan(47, 12), lo_start, hi_end,
-                pspan_planck)
+                pspan_planck, s_minor)
 
-    s_lo, s_hi, lo_start, hi_end, s_planck = (int(x) for x in
+    s_lo, s_hi, lo_start, hi_end, s_planck, s_minor = (int(x) for x in
         jax.device_get(spans(jnp.asarray(pressure_hl),
                              jnp.asarray(temperature_hl))))
     nlev = np.shape(pressure_hl)[1] - 1
@@ -124,6 +131,10 @@ def compute_interp_windows(tables, pressure_hl, temperature_hl) -> dict:
         "lw/m1lo": (s_lo,) + lo, "lw/m1hi": (s_hi,) + hi,
         "sw/m1lo": (s_lo,) + lo, "sw/m1hi": (s_hi,) + hi,
         "lw/planck": s_planck,
+        # minor-gas eta tables (19, njs, ng): idx range covers jt in
+        # {ind, ind+1} times the full eta axis
+        "lw/minor2lo": ((s_minor + 1) * 9,) + lo,
+        "lw/minor2hi": ((s_minor + 1) * 5,) + hi,
     }
     # LW lower eta bands: njs=9, eta-edge offsets d in [-1, 2], js<=7
     # => js+d in [-1, 9]: 11 values

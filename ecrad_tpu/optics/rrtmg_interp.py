@@ -437,7 +437,7 @@ def minor_1(kminor, scale, minorfrac, indminor):
                                   (indminor + 1, w1)])
 
 
-def minor_2(kminor, jm, fm, minorfrac, indminor):
+def minor_2(kminor, jm, fm, minorfrac, indminor, key=None):
     """Eta-dependent minor-gas absorption (rrtm_taumol3.F90:139-143 +
     225-232 pattern). kminor (19, 9, ng) (jt, js, g); jm 0-based.
 
@@ -459,7 +459,7 @@ def minor_2(kminor, jm, fm, minorfrac, indminor):
         (at(indminor, jm), (1.0 - mf) * (1.0 - fm)),
         (at(indminor, jm + 1), (1.0 - mf) * fm),
         (at(indminor + 1, jm), mf * (1.0 - fm)),
-        (at(indminor + 1, jm + 1), mf * fm)])
+        (at(indminor + 1, jm + 1), mf * fm)], key=key)
 
 
 def planck_frac_1(fracref):

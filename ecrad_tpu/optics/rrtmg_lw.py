@@ -282,7 +282,8 @@ class _Band:
         """Eta-dependent minor gas absorption coefficient."""
         c = self.c
         _, _, jm, fm = ri.spec_setup(8, col1, col2, refrat)
-        return ri.minor_2(self.t[key], jm, fm, c.minorfrac, c.indminor)
+        return ri.minor_2(self.t[key], jm, fm, c.minorfrac, c.indminor,
+                          key="lw/minor2lo")
 
     def bcast(self, vec):
         """(ng,) table broadcast to (ncol, nlev, ng)."""
@@ -353,7 +354,7 @@ def band3(tb: _Band):
     # upper minor: 4-point eta
     _, _, jm_hi, fm_hi = ri.spec_setup(4, c.colh2o, c.colco2, refrat_m_b)
     absn2o_hi = ri.minor_2(tb.t["kb_mn2o"], jm_hi, fm_hi, c.minorfrac,
-                           c.indminor)
+                           c.indminor, key="lw/minor2hi")
     tau_hi = tau_major_hi + tfor + adjcoln2o[..., None] * absn2o_hi
     pfrac_hi = tb.pfrac_eta("fracrefb", c.colh2o, c.colco2,
                             refrat_planck_b, 4)
