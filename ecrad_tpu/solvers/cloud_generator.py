@@ -263,37 +263,124 @@ def fit_pdf_cheb(pdf_tables, degree: int = 14):
     }
 
 
-def sample_pdf_cheb(fit, fsd, cdf):
-    """TPU-fast PDF sampling: od_scaling = exp(cheb(z)) with coefficients
-    interpolated in fsd.  fsd (..., 1) broadcasting against cdf (..., ng);
-    fsd must vary only over the leading (col, lev) axes."""
-    from jax.scipy.special import ndtri
+def cheb_coeffs_for(fit, fsd, dtype):
+    """Per-(col,lev) Chebyshev coefficients interpolated in fsd.
 
-    cheb = jnp.asarray(fit["cheb"], cdf.dtype)          # (nfsd, deg+1)
+    fsd (ncol, nlev) → (ncol, nlev, deg+1)."""
+    cheb = jnp.asarray(fit["cheb"], dtype)              # (nfsd, deg+1)
     nfsd = fit["nfsd"]
-    # fsd row interpolation (cheap: one row gather per (col, lev))
-    wfsd = (fsd[..., 0] - fit["fsd1"]) * fit["inv_int"] + 1.0
+    wfsd = (fsd - fit["fsd1"]) * fit["inv_int"] + 1.0
     ifsd = jnp.clip(wfsd.astype(jnp.int32), 1, nfsd - 1)
     wfsd = jnp.clip(wfsd - ifsd, 0.0, 1.0)[..., None]
     c0 = jnp.take(cheb, jnp.clip(ifsd - 1, 0, nfsd - 1), axis=0)
     c1 = jnp.take(cheb, jnp.clip(ifsd, 0, nfsd - 1), axis=0)
-    c = (1.0 - wfsd) * c0 + wfsd * c1                   # (..., deg+1)
+    return (1.0 - wfsd) * c0 + wfsd * c1                # (..., deg+1)
 
+
+# Cephes ndtri coefficients (the same rational approximations as
+# scipy/jax.scipy.special.ndtri), kept as Python floats so the Horner
+# evaluation lowers into Pallas kernels without array constants.
+_NDTRI_P0 = (-5.99633501014107895267e1, 9.80010754185999661536e1,
+             -5.66762857469070293439e1, 1.39312609387279679503e1,
+             -1.23916583867381258016e0)
+_NDTRI_Q0 = (1.95448858338141759834e0, 4.67627912898881538453e0,
+             8.63602421390890590575e1, -2.25462687854119370527e2,
+             2.00260212380060660359e2, -8.20372256168538034268e1,
+             1.59056225126211695515e1, -1.18331621121330003142e0)
+_NDTRI_P1 = (4.05544892305962419923e0, 3.15251094599893866154e1,
+             5.71628192246421288162e1, 4.40805073893200834700e1,
+             1.46849561928858024014e1, 2.18663306850790267539e0,
+             -1.40256079171354495875e-1, -3.50424626827848203418e-2,
+             -8.57456785154685413611e-4)
+_NDTRI_Q1 = (1.57799883256466749731e1, 4.53907635128879210584e1,
+             4.13172038254672030440e1, 1.50425385692907503408e1,
+             2.50464946208309415979e0, -1.42182922854787788574e-1,
+             -3.80806407691578277194e-2, -9.33259480895457427372e-4)
+_NDTRI_P2 = (3.23774891776946035970e0, 6.91522889068984211695e0,
+             3.93881025292474443415e0, 1.33303460815807542389e0,
+             2.01485389549179081538e-1, 1.23716634817820021358e-2,
+             3.01581553508235416007e-4, 2.65806974686737550832e-6,
+             6.23974539184983651783e-9)
+_NDTRI_Q2 = (6.02427039364742014255e0, 3.67983563856160859403e0,
+             1.37702099489081330271e0, 2.16236993594496635890e-1,
+             1.34204006088543189037e-2, 3.28014464682127739104e-4,
+             2.89247864745380683936e-6, 6.79019408009981274425e-9)
+
+
+def _polevl(x, coeffs):
+    y = None
+    for c in coeffs:
+        y = x * y + c if y is not None else jnp.zeros_like(x) + c
+    return y
+
+
+def _p1evl(x, coeffs):
+    y = jnp.ones_like(x)
+    for c in coeffs:
+        y = x * y + c
+    return y
+
+
+def ndtri(p):
+    """Inverse normal CDF — cephes rational approximations with
+    literal coefficients (Pallas-kernel safe; values match
+    jax.scipy.special.ndtri to roundoff)."""
+    s2pi = 2.50662827463100050242
+    exp_m2 = 0.13533528323661269189
+
+    flip = p > 1.0 - exp_m2
+    y = jnp.where(flip, 1.0 - p, p)
+
+    # central region
+    yc = y - 0.5
+    y2 = yc * yc
+    x_c = yc + yc * (y2 * _polevl(y2, _NDTRI_P0)
+                     / _p1evl(y2, _NDTRI_Q0))
+    x_c = x_c * s2pi
+
+    # tails (guard y for the central-path lanes)
+    ysafe = jnp.clip(y, 1e-30, 1.0)
+    x = jnp.sqrt(-2.0 * jnp.log(ysafe))
+    x0 = x - jnp.log(x) / x
+    z = 1.0 / x
+    x1 = jnp.where(x < 8.0,
+                   z * _polevl(z, _NDTRI_P1) / _p1evl(z, _NDTRI_Q1),
+                   z * _polevl(z, _NDTRI_P2) / _p1evl(z, _NDTRI_Q2))
+    x_t = x1 - x0                         # negative tail value
+
+    # the central branch is only reachable un-flipped (a flip implies
+    # y < exp(-2)), and its sign comes from yc directly; the tail value
+    # is negative for small p and mirrored for flipped (large) p
+    central = y > exp_m2
+    return jnp.where(central, x_c, jnp.where(flip, -x_t, x_t))
+
+
+def cheb_eval(fit, coeff_at, ncoef, cdf):
+    """exp(cheb(ndtri(cdf))) — the PDF sample evaluation, shared by the
+    jnp path and the Pallas generator kernel (local cephes ndtri with
+    literal coefficients, so it traces into Mosaic).
+
+    coeff_at(k): coefficient k broadcastable against cdf."""
     eps = 1e-7
     z = ndtri(jnp.clip(cdf, eps, 1.0 - eps))
     t = jnp.clip((2.0 * z - (fit["z_lo"] + fit["z_hi"]))
                  / (fit["z_hi"] - fit["z_lo"]), -1.0, 1.0)
-    # Clenshaw over the trailing coefficient axis, broadcasting c
-    # (..., 1, deg+1) against t (..., ng)
-    deg = c.shape[-1] - 1
-    cb = c[..., None, :]
     b1 = jnp.zeros_like(t)
     b2 = jnp.zeros_like(t)
     two_t = 2.0 * t
-    for k in range(deg, 0, -1):
-        b1, b2 = two_t * b1 - b2 + cb[..., k], b1
-    y = t * b1 - b2 + cb[..., 0]
+    for k in range(ncoef - 1, 0, -1):
+        b1, b2 = two_t * b1 - b2 + coeff_at(k), b1
+    y = t * b1 - b2 + coeff_at(0)
     return jnp.exp(y)
+
+
+def sample_pdf_cheb(fit, fsd, cdf):
+    """TPU-fast PDF sampling: od_scaling = exp(cheb(z)) with coefficients
+    interpolated in fsd.  fsd (..., 1) broadcasting against cdf (..., ng);
+    fsd must vary only over the leading (col, lev) axes."""
+    c = cheb_coeffs_for(fit, fsd[..., 0], cdf.dtype)    # (..., deg+1)
+    cb = c[..., None, :]
+    return cheb_eval(fit, lambda k: cb[..., k], c.shape[-1], cdf)
 
 
 def sample_pdf_jnp(pdf_tables, fsd, cdf):
@@ -366,10 +453,17 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
 
     is_any_cloud = frac >= config.cloud_fraction_threshold
 
+    tcc = jnp.where(total_cloud_cover
+                    >= config.cloud_fraction_threshold,
+                    total_cloud_cover, 0.0)
+
     from ecrad_tpu.solvers.adding import _mode as _adding_mode
     if _adding_mode() == "pallas":
         # Pallas scan kernel: identical per-column threefry streams
-        # (same draws, columns vmapped onto lanes), carries in VMEM
+        # (same draws, columns vmapped onto lanes), carries in VMEM.
+        # (In-kernel Chebyshev sampling was tried and reverted: no
+        # runtime gain over XLA's fused sampling epilogue, 4x Mosaic
+        # compile time.)
         cdf = _generator_scan_pallas(
             config, keys, draw, frac, cum, pair, overhang, op_inhom,
             is_any_cloud, total_cloud_cover, exp_exp, ng)
@@ -386,10 +480,6 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
                                  cdf)
     od_scaling = jnp.where(cdf > 0.0, sampled, 0.0)
     od_scaling = jnp.where(is_any_cloud[..., None], od_scaling, 0.0)
-
-    tcc = jnp.where(total_cloud_cover
-                    >= config.cloud_fraction_threshold,
-                    total_cloud_cover, 0.0)
     od_scaling = jnp.where(tcc[:, None, None] > 0.0, od_scaling, 0.0)
     return od_scaling, tcc
 
