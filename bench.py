@@ -34,6 +34,69 @@ BASELINE_COLS_PER_SEC = 268.0   # ecRad reference log (BASELINE.md),
 TARGET_COLS_PER_SEC = 43000.0   # 5 x est. 32-core node (268*32*5)
 
 
+def bench_scaling(n_devices, ncol_per_dev=512, niter=6):
+    """--n-devices N: column-DP scaling harness (round-3 review item 4).
+
+    Times the sharded step on 1 device and on N devices (N x the
+    columns), reports throughput_ratio = t1 / tN — the fraction of
+    perfect scaling.  On real chips this is the scaling efficiency; on
+    the virtual CPU mesh (JAX_PLATFORMS=cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=N) it is a
+    serialization canary: ~1 when shards genuinely run in parallel,
+    ~1/N if something accidentally serializes the devices.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from ecrad_tpu import pipeline
+
+    def run(ndev):
+        ncol = ncol_per_dev * ndev
+        mesh = pipeline.make_mesh(ndev)
+        step, args = ge._build(ncol=ncol, dtype="float32")
+        names = ["pressure_hl", "temperature_hl", "gas_mmr", "cos_sza",
+                 "skin_temperature", "sw_albedo", "sw_albedo_direct",
+                 "lw_emissivity", "cloud", "aerosol"]
+        inputs = pipeline.shard_inputs(mesh, dict(zip(names, args)), ncol)
+        cloud = inputs.pop("cloud")
+        aerosol = inputs.pop("aerosol")
+
+        def fn(cl, aer, kw):
+            flux = pipeline.radiation_sharded(
+                step.config, step.tables, mesh,
+                solar_irradiance=step.solar, cloud=cl, aerosol=aer, **kw)
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(flux):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+            return acc
+
+        jfn = jax.jit(fn)
+        float(np.asarray(jfn(cloud, aerosol, inputs)))   # compile+warm
+        ts = []
+        for _ in range(niter):
+            t0 = time.time()
+            float(np.asarray(jfn(cloud, aerosol, inputs)))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1 = run(1)
+    tn = run(n_devices)
+    ratio = t1 / tn
+    result = {
+        "metric": "multichip_scaling",
+        "n_devices": n_devices,
+        "ncol_per_device": ncol_per_dev,
+        "t1_seconds": round(t1, 4),
+        "tn_seconds": round(tn, 4),
+        "throughput_ratio": round(ratio, 3),
+        "cols_per_sec_per_chip_at_n": round(ncol_per_dev / tn, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     ncol = int(os.environ.get("BENCH_NCOL", "6144"))
     niter = int(os.environ.get("BENCH_NITER", "10"))
@@ -84,6 +147,26 @@ def main():
 
     cols_per_sec = ncol / max(t_best - rtt, 1e-9)
     cols_per_sec_med = ncol / max(t_median - rtt, 1e-9)
+
+    # Device-path correctness every round (round-3 review item 8): run
+    # the two RUN_TPU_TESTS smokes (flagship f32 vs the dp reference at
+    # sp thresholds; SPARTACUS f32 vs the f64 self-regression) right
+    # here where the device is attached.  Status lands in the JSON.
+    smokes = "skipped"
+    if os.environ.get("BENCH_SKIP_SMOKES", "0") in ("", "0"):
+        import subprocess
+        env = dict(os.environ, RUN_TPU_TESTS="1")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest",
+                 "tests/test_tpu_smoke.py", "-q", "--no-header"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env, capture_output=True, text=True, timeout=780)
+            smokes = "pass" if r.returncode == 0 else "FAIL"
+            print(r.stdout[-1500:], file=sys.stderr)
+        except Exception as e:
+            smokes = f"error: {e}"
+
     result = {
         "metric": "columns_per_second_per_chip",
         "value": round(cols_per_sec, 1),
@@ -98,6 +181,7 @@ def main():
         "vs_1core_anchor": round(cols_per_sec / BASELINE_COLS_PER_SEC, 1),
         "median_cols_per_sec": round(cols_per_sec_med, 1),
         "compile_seconds": round(compile_t, 1),
+        "tpu_smokes": smokes,
     }
     print(json.dumps(result))
     print(f"# ncol={ncol} t_best={t_best:.4f}s t_median={t_median:.4f}s "
@@ -106,4 +190,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--n-devices" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n-devices") + 1])
+        bench_scaling(n)
+    else:
+        main()

@@ -161,10 +161,13 @@ def run(config_path: str, input_path: str, output_path: str,
     if jax.default_backend() != "cpu" and "rrtmg" in tables.gas \
             and _os.environ.get("ECRAD_TPU_NO_WINDOWS", "0") in ("", "0"):
         from ecrad_tpu.optics import rrtmg as rrtmg_mod
-        from ecrad_tpu.optics import rrtmg_interp
-        rrtmg_interp.set_level_windows(rrtmg_mod.compute_interp_windows(
+        # windows live in the tables dict (part of the traced closure,
+        # never process-global state): a step traced with these windows
+        # cannot silently be fed others, and out-of-window inputs are
+        # NaN-poisoned by the interp guard (rrtmg_interp module notes)
+        tables.gas["rrtmg"]["windows"] = rrtmg_mod.compute_interp_windows(
             tables.gas["rrtmg"], inp.thermodynamics.pressure_hl,
-            inp.thermodynamics.temperature_hl))
+            inp.thermodynamics.temperature_hl)
 
     dt = jnp.float64 if dtype == "float64" else jnp.float32
 

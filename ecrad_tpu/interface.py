@@ -380,16 +380,74 @@ def indexed_sum_g(x_g, band_from_g, nbands: int):
     return x_g @ onehot
 
 
+def use_kernel_layout(config: Config, tables: Tables, cloud) -> bool:
+    """True when the hot path should run end-to-end in the fused-solver
+    kernel layout (nlev, ng, ncol): RRTMG gas optics, the cloud
+    generator and the McICA solver sweeps all produce/consume the big
+    (ncol·nlev·ng) fields in that layout, eliminating the 3-5 ms/157 MB
+    relayout copies between stages that dominated the round-3 profile.
+
+    Restricted to the configurations the fused Pallas solvers cover
+    (accelerator backend, RRTMG gas models, McICA/homogeneous solvers,
+    no per-g spectral-profile outputs); everything else uses the
+    classic (ncol, nlev, ng) layout.  ECRAD_TPU_LAYOUT=cln forces the
+    classic layout (debug/AB-testing); =knl skips only this env check,
+    the structural conditions below still apply."""
+    import os
+    from ecrad_tpu.solvers import adding
+    if os.environ.get("ECRAD_TPU_LAYOUT", "auto").lower() == "cln":
+        return False
+    if adding._mode() != "pallas":
+        return False
+    if cloud is None or not config.do_clouds:
+        return False
+    if config.do_save_gpoint_flux or config.do_save_spectral_flux:
+        return False
+    # a pre-supplied stochastic sample (host bit-exact generator, or a
+    # user of the ifs scheme API) arrives in classic layout — detect by
+    # shape and stay classic.  (Degenerate ambiguity requires
+    # ncol == nlev == ng; force via ECRAD_TPU_LAYOUT=cln if ever hit.)
+    if isinstance(cloud, dict):
+        frac_shape = tuple(cloud["fraction"].shape)
+        for k in ("od_scaling_sw", "od_scaling_lw"):
+            if k in cloud and tuple(cloud[k].shape[:2]) == frac_shape:
+                return False
+    ok = (Solver.MCICA, Solver.HOMOGENEOUS)
+    if config.do_lw:
+        if config.gas_model_lw != GasModel.RRTMG:
+            return False
+        if config.lw_solver not in ok:
+            return False
+        if (not config.do_lw_cloud_scattering
+                or config.do_lw_aerosol_scattering):
+            return False
+        if mcica._gcounts(tables.band_from_g_lw) is None:
+            return False
+    if config.do_sw:
+        if config.gas_model_sw != GasModel.RRTMG:
+            return False
+        if config.sw_solver not in ok:
+            return False
+        if mcica._gcounts(tables.band_from_g_sw) is None:
+            return False
+    return True
+
+
 def _optical_properties(config: Config, tables: Tables, *,
                         pressure_hl, temperature_hl, gas_mmr,
                         cos_sza, skin_temperature, sw_albedo,
                         sw_albedo_direct, lw_emissivity,
                         solar_irradiance, cloud=None, aerosol=None,
                         spectral_solar_scaling=None,
-                        spectral_solar_cycle_multiplier=0.0):
+                        spectral_solar_cycle_multiplier=0.0,
+                        layout="cln"):
     """Surface + gas + aerosol + cloud optical properties — the front
     half of radiation() (radiation_interface.F90:200-383), shared with
-    compute_radiative_properties for the debug dump."""
+    compute_radiative_properties for the debug dump.
+
+    layout="knl" (see use_kernel_layout) emits the per-g profile fields
+    in kernel layout; the per-band cloud optics stay (ncol, nlev,
+    nband) in both layouts (relaid cheaply inside the solver wrapper)."""
     sw_albedo_direct_g, sw_albedo_diffuse_g, lw_albedo_g = get_albedos(
         config, tables, sw_albedo, sw_albedo_direct, lw_emissivity)
 
@@ -427,7 +485,8 @@ def _optical_properties(config: Config, tables: Tables, *,
                 min_gas_od_sw=config.min_gas_od_sw,
                 spectral_solar_scaling=(
                     spectral_solar_scaling
-                    if config.use_spectral_solar_scaling else None))
+                    if config.use_spectral_solar_scaling else None),
+                layout=layout)
             if do_lw_rrtmg:
                 go_kw.update(od_lw=r.od_lw, planck_hl=r.planck_hl,
                              lw_emission=r.lw_emission)
@@ -505,14 +564,18 @@ def _optical_properties(config: Config, tables: Tables, *,
                 scatg_lw=scat_lw * aerosol.get("g_lw", zero_lw))
         else:
             nblw = getattr(config, "n_bands_lw", 0) or 1
-            zlw = jnp.zeros(od_lw.shape[:-1] + (nblw,), od_lw.dtype) \
+            zlw = jnp.zeros(aerosol["od_sw"].shape[:-1] + (nblw,),
+                            aerosol["od_sw"].dtype) \
                 if config.do_lw else None
             if zlw is not None:
                 aer.update(od_lw=zlw, scat_lw=zlw, scatg_lw=zlw)
+        if layout == "knl":
+            aer = {k: jnp.transpose(v, (1, 2, 0)) for k, v in aer.items()}
         od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr = \
             aerosol_mod.add_aerosol_optics(
                 config, aer, tables.band_from_g_sw, tables.band_from_g_lw,
-                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr)
+                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr,
+                layout=layout)
     elif config.use_aerosols and aerosol is not None \
             and tables.aerosol is not None \
             and config.gas_model_sw != GasModel.MONOCHROMATIC:
@@ -524,10 +587,14 @@ def _optical_properties(config: Config, tables: Tables, *,
         aer = aerosol_mod.aerosol_band_properties(
             config, tables.aerosol, pressure_hl,
             aerosol["mixing_ratio"], rh)
+        if layout == "knl":
+            # relay the small (ncol, nlev, nband) band profiles once
+            aer = {k: jnp.transpose(v, (1, 2, 0)) for k, v in aer.items()}
         od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr = \
             aerosol_mod.add_aerosol_optics(
                 config, aer, tables.band_from_g_sw, tables.band_from_g_lw,
-                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr)
+                od_sw, ssa_sw, g_sw_arr, od_lw, ssa_lw, g_lw_arr,
+                layout=layout)
 
     # --- cloud optics (radiation_interface.F90:357-383)
     do_clouds = config.do_clouds and cloud is not None
@@ -582,6 +649,7 @@ def radiation(config: Config, tables: Tables, *,
     constants.GAS_NAMES order.
     """
     from ecrad_tpu import profiling
+    layout = "knl" if use_kernel_layout(config, tables, cloud) else "cln"
     with profiling.scope("radiation_interface:optical_properties"):
         op = _optical_properties(
             config, tables, pressure_hl=pressure_hl,
@@ -593,7 +661,8 @@ def radiation(config: Config, tables: Tables, *,
             aerosol=aerosol,
             spectral_solar_scaling=spectral_solar_scaling,
             spectral_solar_cycle_multiplier=(
-                spectral_solar_cycle_multiplier))
+                spectral_solar_cycle_multiplier),
+            layout=layout)
     sw_albedo_direct_g = op["sw_albedo_direct_g"]
     sw_albedo_diffuse_g = op["sw_albedo_diffuse_g"]
     lw_albedo_g = op["lw_albedo_g"]
@@ -648,7 +717,7 @@ def radiation(config: Config, tables: Tables, *,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives,
-                spec_matrix=spec_lw_m)
+                spec_matrix=spec_lw_m, layout=layout)
         elif config.lw_solver == Solver.HOMOGENEOUS:
             # plane-parallel clouds fill the gridbox
             # (radiation_homogeneous_lw.F90): equivalent to McICA with
@@ -666,7 +735,7 @@ def radiation(config: Config, tables: Tables, *,
                 do_lw_cloud_scattering=config.do_lw_cloud_scattering,
                 do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
                 do_lw_derivatives=config.do_lw_derivatives,
-                spec_matrix=spec_lw_m)
+                spec_matrix=spec_lw_m, layout=layout)
             lw = lw._replace(
                 cloud_cover=jnp.full_like(any_cloud, -1.0))
         elif config.lw_solver == Solver.TRIPLECLOUDS:
@@ -756,7 +825,7 @@ def radiation(config: Config, tables: Tables, *,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_sw_delta_scaling_with_gases=(
                     config.do_sw_delta_scaling_with_gases),
-                spec_matrix=spec_sw_m)
+                spec_matrix=spec_sw_m, layout=layout)
             sw = sw._replace(cloud_cover=jnp.full_like(any_cloud, -1.0))
         elif config.sw_solver == Solver.TRIPLECLOUDS:
             sw = tripleclouds.solver_tripleclouds_sw(
@@ -794,7 +863,7 @@ def radiation(config: Config, tables: Tables, *,
                 cloud_fraction_threshold=config.cloud_fraction_threshold,
                 do_sw_delta_scaling_with_gases=(
                     config.do_sw_delta_scaling_with_gases),
-                spec_matrix=spec_sw_m)
+                spec_matrix=spec_sw_m, layout=layout)
         else:
             raise NotImplementedError(
                 f"SW solver {config.sw_solver} not yet implemented")

@@ -374,9 +374,13 @@ def delta_eddington_extensive(od, scat, scatg):
 
 def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
                        band_from_g_lw, od_sw, ssa_sw, g_sw, od_lw,
-                       ssa_lw=None, g_lw=None):
+                       ssa_lw=None, g_lw=None, layout="cln"):
     """Merge band-wise aerosol properties into per-g gas arrays
     (radiation_aerosol_optics.F90:662-780, RRTMG band-based branch).
+
+    layout="knl": the gas arrays and the ``aer`` band profiles arrive in
+    kernel layout ((nlev, ng|nband, ncol)); the merge itself is
+    elementwise and layout-free, only the band→g expansion changes.
 
     Returns updated (od_sw, ssa_sw, g_sw, od_lw, ssa_lw, g_lw)."""
     bsw = jnp.asarray(band_from_g_sw)
@@ -386,9 +390,9 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     if not config.do_sw_delta_scaling_with_gases:
         od_a, scat_a, scatg_a = delta_eddington_extensive(
             od_a, scat_a, scatg_a)
-    od_a_g = take_bands(od_a, bsw)
-    scat_a_g = take_bands(scat_a, bsw)
-    scatg_a_g = take_bands(scatg_a, bsw)
+    od_a_g = take_bands(od_a, bsw, layout)
+    scat_a_g = take_bands(scat_a, bsw, layout)
+    scatg_a_g = take_bands(scatg_a, bsw, layout)
     if config.do_cloud_aerosol_per_sw_g_point:
         # per-g-point merge (radiation_aerosol_optics.F90:668-676)
         local_scat = ssa_sw * od_sw + scat_a_g
@@ -411,9 +415,9 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     if config.do_lw_aerosol_scattering:
         od_a, scat_a, scatg_a = delta_eddington_extensive(
             aer["od_lw"], aer["scat_lw"], aer["scatg_lw"])
-        od_a_g = take_bands(od_a, blw)
-        scat_a_g = take_bands(scat_a, blw)
-        scatg_a_g = take_bands(scatg_a, blw)
+        od_a_g = take_bands(od_a, blw, layout)
+        scat_a_g = take_bands(scat_a, blw, layout)
+        scatg_a_g = take_bands(scatg_a, blw, layout)
         local_od = od_lw + od_a_g
         apply = (local_od > 0.0) & (od_a_g > 0.0)
         new_g = jnp.where(scat_a_g > 0.0,
@@ -425,6 +429,6 @@ def add_aerosol_optics(config: Config, aer: Dict, band_from_g_sw,
     else:
         # absorption-only LW aerosol (radiation_aerosol_optics.F90:751-768)
         od_abs = aer["od_lw"] - aer["scat_lw"]
-        od_lw = od_lw + take_bands(od_abs, blw)
+        od_lw = od_lw + take_bands(od_abs, blw, layout)
 
     return od_sw, ssa_sw, g_sw, od_lw, ssa_lw, g_lw

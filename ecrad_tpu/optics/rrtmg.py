@@ -164,18 +164,22 @@ def _planck_interp_index(temperature):
     return ind - 1, frac
 
 
-def _planck_store(totplnk, delwave, temperature, key=None):
+def _planck_store(totplnk, delwave, temperature, key=None, layout="cln",
+                  windows=None):
     """Planck flux per LW band at given temperatures.
 
-    temperature (...,) → (..., nbands).  key: level-window key when
-    temperature is (ncol, nlev+1)."""
+    temperature (...,) → (..., nbands) [cln] or, for layout="knl" with
+    temperature (nlev+1, ncol), (nlev+1, nbands, ncol).  key:
+    level-window key when temperature spans the level axis."""
     from ecrad_tpu.optics.rrtmg_interp import weighted_take
     totplnk = jnp.asarray(totplnk)                # (181, 16)
     delwave = jnp.asarray(delwave)
     ind, frac = _planck_interp_index(temperature)
     p = weighted_take(totplnk, [(ind, 1.0 - frac),
                                 (jnp.clip(ind + 1, 0, 180), frac)],
-                      key=key)
+                      key=key, layout=layout, windows=windows)
+    if layout == "knl":
+        return FLUXFAC * delwave[:, None] * p
     return FLUXFAC * delwave * p
 
 
@@ -185,12 +189,25 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
                do_lw=True, do_sw=True, skin_temperature=None,
                solar_irradiance=1366.0,
                min_gas_od_lw=1.0e-15, min_gas_od_sw=0.0,
-               spectral_solar_scaling=None) -> RRTMGGasOptics:
+               spectral_solar_scaling=None,
+               layout="cln") -> RRTMGGasOptics:
     """Full RRTMG gas optics.
 
     gas_mmr: dict of (ncol, nlev) MASS mixing ratios with keys
     h2o, co2, ch4, n2o, cfc11, cfc12, hcfc22, ccl4, o3 (absent → 0).
+
+    layout="knl" emits the profile fields (od_lw, planck_hl, od_sw,
+    ssa_sw) in the fused-solver kernel layout (nlev, ng, ncol) — the
+    per-(col,lev) preparation still runs column-major (it is tiny) and
+    is transposed once, so the (ncol·nlev·ng) fields are *written* in
+    kernel layout and never relaid.  Surface fields (lw_emission,
+    incoming_sw) stay (ncol, ng) in both layouts.
+
+    Level windows are taken from tables["windows"] (set by the driver
+    via compute_interp_windows) — part of the traced closure, per
+    round-3 review.
     """
+    windows = tables.get("windows")
     pressure_fl = 0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:])
     temperature_fl = 0.5 * (temperature_hl[:, :-1] + temperature_hl[:, 1:])
     zero = jnp.zeros_like(pressure_fl)
@@ -203,26 +220,37 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
         g("h2o"), g("co2"), g("ch4"), g("n2o"), g("cfc11"), g("cfc12"),
         g("hcfc22"), g("ccl4"), g("o3"),
         tables["preflog"], tables["tref"], tables["chi_mls"])
+    if layout == "knl":
+        # relayout the small per-(col,lev) planes once (~1 MB each)
+        cols = cols._replace(**{
+            f: (jnp.transpose(v, (1, 2, 0)) if f == "chi_jp1" else v.T)
+            for f, v in cols._asdict().items()})
 
     out = {}
     if do_lw:
         lw_tables = {k[3:]: v for k, v in tables.items()
                      if k.startswith("lw:")}
         lw_tables["chi_mls"] = tables["chi_mls"]
-        tau_lw, pfrac = rrtmg_lw.gas_optical_depth_lw(lw_tables, cols)
+        tau_lw, pfrac = rrtmg_lw.gas_optical_depth_lw(lw_tables, cols,
+                                                      layout, windows)
         out["od_lw"] = jnp.maximum(tau_lw, min_gas_od_lw)
 
         # Planck at half levels: each half-level pairs with the PFRAC of
         # the layer above it; TOA half-level uses the top layer
         # (radiation_ifs_rrtm.F90:712-745)
         band_from_g = jnp.asarray(tables["lw_band_from_g"])
+        thl = temperature_hl.T if layout == "knl" else temperature_hl
         planck_bands_hl = _planck_store(tables["totplnk"],
-                                        tables["delwave"],
-                                        temperature_hl,
-                                        key="lw/planck")  # (ncol,nlev+1,16)
+                                        tables["delwave"], thl,
+                                        key="lw/planck", layout=layout,
+                                        windows=windows)
         from ecrad_tpu.optics.rrtmg_interp import take_bands
-        planck_g_hl = take_bands(planck_bands_hl, band_from_g)
-        pfrac_hl = jnp.concatenate([pfrac[:, :1], pfrac], axis=1)
+        planck_g_hl = take_bands(planck_bands_hl, band_from_g,
+                                 layout=layout)
+        if layout == "knl":
+            pfrac_hl = jnp.concatenate([pfrac[:1], pfrac], axis=0)
+        else:
+            pfrac_hl = jnp.concatenate([pfrac[:, :1], pfrac], axis=1)
         out["planck_hl"] = planck_g_hl * pfrac_hl
 
         if skin_temperature is not None:
@@ -231,12 +259,14 @@ def gas_optics(tables: dict, pressure_hl, temperature_hl,
                                               skin_temperature)
             planck_g_surf = take_bands(planck_bands_surf, band_from_g)
             # PFRAC of the lowest model layer (radiation_ifs_rrtm.F90:453)
-            out["lw_emission"] = planck_g_surf * pfrac[:, -1]
+            pfrac_surf = pfrac[-1].T if layout == "knl" else pfrac[:, -1]
+            out["lw_emission"] = planck_g_surf * pfrac_surf
 
     if do_sw:
         sw_tables = {k[3:]: v for k, v in tables.items()
                      if k.startswith("sw:")}
-        taug, taur, sflux = rrtmg_sw.gas_optical_depth_sw(sw_tables, cols)
+        taug, taur, sflux = rrtmg_sw.gas_optical_depth_sw(sw_tables, cols,
+                                                          layout, windows)
         od_sw = taur + taug
         ssa_sw = taur / od_sw
         out["od_sw"] = jnp.maximum(od_sw, min_gas_od_sw)

@@ -10,8 +10,17 @@ Every interpolation is therefore expressed through :func:`weighted_take`
 — a sum of weighted table rows — which on TPU becomes a fused one-hot
 matrix product on the MXU ((ncol*nlev, nrows) @ (nrows, ng), the one-hot
 built in a single fused elementwise pass) and on CPU stays a plain
-gather.  All index arrays are 0-based (ncol, nlev) int32; results are
-(ncol, nlev, ng).
+gather.
+
+Two batch layouts (``layout`` argument):
+  * ``"cln"`` (default): index arrays (ncol, nlev), results
+    (ncol, nlev, ng) — the classic column-major analysis layout used by
+    the CPU/golden path and the non-fused solvers.
+  * ``"knl"``: index arrays (nlev, ncol), results (nlev, ng, ncol) —
+    the fused Pallas solver *kernel layout* (columns on TPU lanes).
+    Producing gas optics directly in this layout removes the 3-5 ms/
+     157 MB relayout copies between gas optics and the solver sweeps
+    that dominated the round-3 profile.
 """
 
 from __future__ import annotations
@@ -66,12 +75,19 @@ def reshape_minor2(kam: np.ndarray) -> np.ndarray:
 #
 # W must be static.  The driver computes the exact per-pair-set spans
 # from the real inputs with :func:`pair_span` (a tiny jitted probe using
-# the same index expressions), then installs them via
-# :func:`set_level_windows` BEFORE tracing the main program.  When the
+# the same index expressions) and carries them in the gas-optics tables
+# dict under the ``"windows"`` key (rrtmg.compute_interp_windows), so
+# the widths are part of the traced closure — a program jitted with one
+# set of windows can never silently be fed another set.  When the
 # installed width covers the true span the result is exact (identical
-# row set, different summation grouping); the window is clipped for
-# memory safety, and the default (no windows installed) is the exact
-# full-table path.
+# row set, different summation grouping); when it does NOT (inputs with
+# a wider span than the probe saw, e.g. a different vertical grid pushed
+# through a stale compiled step), the runtime guard poisons the output
+# with NaN instead of silently clamping — caught by check_fluxes /
+# any finite-ness assertion downstream.
+#
+# ``set_level_windows`` remains as a process-global fallback for code
+# that has no tables dict to hand (explicit ``windows=`` wins).
 
 _LEVEL_WINDOWS = None
 
@@ -105,16 +121,18 @@ def pair_span(pairs):
     return jnp.max(hi - lo) + 1
 
 
-def _window_width(key, nrows):
+def _window_width(key, nrows, windows=None):
     """Resolve a key to (width, lev_start, lev_end) or None.
 
     Installed values are either a plain width or a (width, ls, le)
     tuple; ``ls``/``le`` restrict the computation to a level slice
     (results outside are zeros — valid when the caller's tropo mask
     never selects them, the laytrop structure of the RRTMG tables)."""
-    if _LEVEL_WINDOWS is None or key is None:
+    if windows is None:
+        windows = _LEVEL_WINDOWS
+    if windows is None or key is None:
         return None
-    w = _LEVEL_WINDOWS.get(key)
+    w = windows.get(key)
     if w is None:
         return None
     ls, le = 0, None
@@ -126,26 +144,43 @@ def _window_width(key, nrows):
     return min(w, nrows), ls, le
 
 
-def _weighted_take_windowed(table, pairs, width, ls=0, le=None):
-    """Level-windowed weighted_take.  idx arrays (ncol, nlev); returns
-    (ncol, nlev, ng) with zeros outside the [ls, le) level slice.
+def _weighted_take_windowed(table, pairs, width, ls=0, le=None,
+                            layout="cln"):
+    """Level-windowed weighted_take.  idx arrays (ncol, nlev) [cln] or
+    (nlev, ncol) [knl]; returns (ncol, nlev, ng) / (nlev, ng, ncol) with
+    zeros outside the [ls, le) level slice.
+
     Exact when width covers the true per-level span (guaranteed by the
-    driver probe)."""
+    driver probe).  If any index falls outside the window — a program
+    traced with windows probed from one grid but fed another — the
+    output is poisoned with NaN instead of silently clamped."""
     table = jnp.asarray(table)
     nrows = table.shape[0]
-    nlev_full = pairs[0][0].shape[1]
+    lev_ax, col_ax = (0, 1) if layout == "knl" else (1, 0)
+    nlev_full = pairs[0][0].shape[lev_ax]
     le = nlev_full if le is None else min(le, nlev_full)
     ls = max(0, min(ls, le))
     if ls > 0 or le < nlev_full:
-        pairs = [(idx[:, ls:le],
-                  None if w is None else w[:, ls:le])
+        sl = ((slice(ls, le),) if layout == "knl"
+              else (slice(None), slice(ls, le)))
+        pairs = [(idx[sl], None if w is None else w[sl])
                  for idx, w in pairs]
     # per-level base row = min over pairs/columns
     off = None
+    hi = None
     for idx, _ in pairs:
-        m = jnp.min(idx, axis=0)
+        m = jnp.min(idx, axis=col_ax)
+        h = jnp.max(idx, axis=col_ax)
         off = m if off is None else jnp.minimum(off, m)
+        hi = h if hi is None else jnp.maximum(hi, h)
     off = jnp.clip(off, 0, nrows - width)            # (nlev,)
+    # runtime span guard: rel = idx - off is clamped to [0, width-1] in
+    # the one-hot below; if the true span exceeds the static width the
+    # clamp would silently corrupt the sum — poison with NaN instead
+    # (one scalar reduce over the small (nlev,) span arrays)
+    bad = jnp.max(hi - off) > width - 1
+    poison = jnp.where(bad, jnp.asarray(float("nan"), table.dtype),
+                       jnp.asarray(1.0, table.dtype))
 
     # windowed table (nlev, width, ng) — exact one-hot row selection
     offsets = off[:, None] + jnp.arange(width, dtype=off.dtype)[None, :]
@@ -156,8 +191,27 @@ def _weighted_take_windowed(table, pairs, width, ls=0, le=None):
                    precision=jax.lax.Precision.HIGH)
     twin = twin.reshape(offsets.shape + (table.shape[-1],))
 
-    # weight matrix over the window, built in (nlev, ncol, width) order
     iota = jnp.arange(width, dtype=jnp.int32)
+    if layout == "knl":
+        # weight matrix (nlev, width, ncol); contract width against the
+        # windowed table batched over levels -> (nlev, ng, ncol)
+        A = None
+        for idx, w in pairs:
+            rel = jnp.clip(idx - off[:, None], 0, width - 1)  # (nlev, nc)
+            ohp = (rel[:, None, :] == iota[None, :, None]) \
+                .astype(table.dtype)
+            term = ohp if w is None else w[:, None, :] * ohp
+            A = term if A is None else A + term
+        out = jax.lax.dot_general(
+            twin, A, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=table.dtype,
+            precision=jax.lax.Precision.HIGH)        # (nlev, ng, ncol)
+        out = out * poison
+        if ls > 0 or le < nlev_full:
+            out = jnp.pad(out, ((ls, nlev_full - le), (0, 0), (0, 0)))
+        return out
+
+    # cln: weight matrix over the window, (nlev, ncol, width) order
     A = None
     for idx, w in pairs:
         rel = jnp.clip(idx - off[None, :], 0, width - 1).T   # (nlev, ncol)
@@ -169,6 +223,7 @@ def _weighted_take_windowed(table, pairs, width, ls=0, le=None):
         A, twin, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=table.dtype,
         precision=jax.lax.Precision.HIGH)            # (nlev, ncol, ng)
+    out = out * poison
     if ls > 0 or le < nlev_full:
         out = jnp.pad(out, ((ls, nlev_full - le), (0, 0), (0, 0)))
     return jnp.moveaxis(out, 0, 1)
@@ -176,30 +231,60 @@ def _weighted_take_windowed(table, pairs, width, ls=0, le=None):
 
 # --- the gather primitive --------------------------------------------------
 
-def weighted_take(table, pairs, key=None):
+def weighted_take(table, pairs, key=None, layout="cln", windows=None):
     """``sum_i w_i * table[idx_i]`` over a list of (idx, weight) pairs.
 
-    table: (nrows, ng); idx: (...,) int; weight: (...,) or None (== 1).
-    Returns (..., ng).
+    table: (nrows, ng); idx: 2D int batch — (ncol, nlev) [cln] or
+    (nlev, ncol) [knl]; weight: same shape or None (== 1).
+    Returns (ncol, nlev, ng) [cln] or (nlev, ng, ncol) [knl].
 
-    On TPU this builds a combined weight matrix A (..., nrows) in one
-    fused elementwise pass and contracts it with the table on the MXU —
+    On TPU this builds a combined weight matrix A in one fused
+    elementwise pass and contracts it with the table on the MXU —
     ~40x faster than the gather lowering (no vector gather on TPU).  On
     CPU the gather path is faster and keeps f64 golden validation exact.
+
+    ``windows``: {key: width} level-window dict (from the tables dict);
+    falls back to the process-global set_level_windows state.
     """
+    import os
     table = jnp.asarray(table)   # canonical dtype (f32 unless x64 on)
     nrows = table.shape[0]
-    if jax.default_backend() == "cpu":
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("ECRAD_TPU_FORCE_ONEHOT", "0")
+            in ("", "0")):
         out = None
         for idx, w in pairs:
             t = jnp.take(table, idx, axis=0)
             if w is not None:
                 t = w[..., None] * t
             out = t if out is None else out + t
+        if layout == "knl":
+            # (nlev, ncol, ng) -> (nlev, ng, ncol)
+            out = jnp.moveaxis(out, -1, 1)
         return out
-    win = _window_width(key, nrows)
+    win = _window_width(key, nrows, windows)
     if win is not None:
-        return _weighted_take_windowed(table, pairs, *win)
+        return _weighted_take_windowed(table, pairs, *win, layout=layout)
+    if layout == "knl":
+        # A (nlev, nrows, ncol); table broadcast over levels; batched
+        # contraction -> (nlev, ng, ncol).  Production major tables go
+        # through the windowed path above; this fallback only sees the
+        # small continuum/minor tables (<= ~200 rows), so the broadcast
+        # (nlev, nrows, ng) operand stays tiny.
+        iota = jnp.arange(nrows, dtype=jnp.int32)
+        A = None
+        for idx, w in pairs:
+            oh = (idx[:, None, :] == iota[None, :, None]) \
+                .astype(table.dtype)
+            term = oh if w is None else w[:, None, :] * oh
+            A = term if A is None else A + term
+        nlev = A.shape[0]
+        tbat = jnp.broadcast_to(table, (nlev,) + table.shape)
+        out = jax.lax.dot_general(
+            tbat, A, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=table.dtype,
+            precision=jax.lax.Precision.HIGH)
+        return out
     iota = jnp.arange(nrows, dtype=jnp.int32)
     A = None
     for idx, w in pairs:
@@ -223,9 +308,10 @@ def _take2(table, idx):
     return jnp.take(table, idx, axis=0)
 
 
-def take_bands(x, band_from_g):
-    """Expand per-band values to per-g: x (..., nband) → (..., ng) with
-    static indices band_from_g (ng,).
+def take_bands(x, band_from_g, layout="cln"):
+    """Expand per-band values to per-g:
+    cln: x (..., nband) → (..., ng); knl: x (nlev, nband, ncol) →
+    (nlev, ng, ncol).  Static indices band_from_g (ng,).
 
     On TPU even a *static* minor-axis gather lowers to a slow custom
     fusion (~2 ms per instance at ncol=2048); as a constant 0/1 matrix
@@ -233,6 +319,18 @@ def take_bands(x, band_from_g):
     columns select single entries (0/1 and the selected value are
     representable in every MXU pass).  CPU keeps the gather (exact f64
     golden path)."""
+    if layout == "knl":
+        if jax.default_backend() == "cpu":
+            return jnp.take(x, band_from_g, axis=1)
+        nlev, nband = x.shape[0], x.shape[1]
+        bfg = jnp.asarray(band_from_g)
+        mat = (bfg[:, None] == jnp.arange(nband)[None, :]) \
+            .astype(x.dtype)                          # (ng, nband)
+        mbat = jnp.broadcast_to(mat, (nlev,) + mat.shape)
+        return jax.lax.dot_general(
+            mbat, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGH)         # (nlev, ng, ncol)
     if jax.default_backend() == "cpu":
         return jnp.take(x, band_from_g, axis=-1)
     nband = x.shape[-1]
@@ -272,8 +370,10 @@ class BatchedTake:
     def keys(self):
         return [k for k, _ in self._tabs]
 
-    def run(self, fn):
-        """fn(table) -> (..., sum_ng); then get(key) serves slices."""
+    def run(self, fn, g_axis=-1):
+        """fn(table) -> batch result with sum_ng on ``g_axis``; then
+        get(key) serves per-band slices along that axis (g_axis=1 for
+        the knl layout, -1 for cln)."""
         if not self._tabs:
             self._out = {}
             return
@@ -283,7 +383,11 @@ class BatchedTake:
         start = 0
         for k, t in self._tabs:
             w = t.shape[-1]
-            self._out[k] = out[..., start:start + w]
+            if g_axis == -1:
+                self._out[k] = out[..., start:start + w]
+            else:
+                self._out[k] = jax.lax.slice_in_dim(out, start, start + w,
+                                                    axis=g_axis)
             start += w
 
     def get(self, key):
@@ -307,17 +411,18 @@ def major_1_pairs(njp, jp, jt, jt1, fac00, fac01, fac10, fac11,
 
 
 def major_1(table, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset=0,
-            key=None):
+            key=None, layout="cln", windows=None):
     """1-key-species major absorption (e.g. rrtm_taumol1.F90:202-236).
 
     table: (njp, 5, ng) jp-major; jp_offset subtracted from jp first
     (upper-atmosphere tables start at jp index 12).
-    Returns k (ncol, nlev, ng) — multiply by the column amount outside.
+    Returns k in batch layout — multiply by the column amount outside.
     """
     njp = table.shape[0]
     flat = table.reshape((-1,) + table.shape[2:])      # (njp*5, ng)
     return weighted_take(flat, major_1_pairs(
-        njp, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset), key=key)
+        njp, jp, jt, jt1, fac00, fac01, fac10, fac11, jp_offset),
+        key=key, layout=layout, windows=windows)
 
 
 def spec_setup(n_eta, colgas1, colgas2, rat):
@@ -390,7 +495,8 @@ def major_2_pairs(njp, njs, nfl, jp, jt, jt1, fac00, fac01, fac10, fac11,
 
 def major_2(table, jp, jt, jt1, fac00, fac01, fac10, fac11,
             speccomb, specparm, js, fs, speccomb1, specparm1, js1, fs1,
-            jp_offset=0, eta_edges=True, key=None):
+            jp_offset=0, eta_edges=True, key=None, layout="cln",
+            windows=None):
     """2-key-species major absorption with eta interpolation, including the
     quartic eta-edge corrections for specparm < 0.125 / > 0.875
     (rrtm_taumol3.F90:170-289 pattern).
@@ -410,34 +516,36 @@ def major_2(table, jp, jt, jt1, fac00, fac01, fac10, fac11,
                           fac10, fac11, speccomb, specparm, js, fs,
                           speccomb1, specparm1, js1, fs1, jp_offset,
                           eta_edges)
-    return weighted_take(flat, pairs, key=key)
+    return weighted_take(flat, pairs, key=key, layout=layout,
+                         windows=windows)
 
 
-def self_continuum(selfref, selffac, selffrac, indself):
+def self_continuum(selfref, selffac, selffrac, indself, layout="cln"):
     """rrtm_taumol1.F90:219-222. selfref (10, ng)."""
     w1 = selffac * selffrac
     return weighted_take(selfref, [(indself, selffac - w1),
-                                   (indself + 1, w1)])
+                                   (indself + 1, w1)], layout=layout)
 
 
-def foreign_continuum(forref, forfac, forfrac, indfor):
+def foreign_continuum(forref, forfac, forfrac, indfor, layout="cln"):
     """rrtm_taumol1.F90:224-226. forref (3|4, ng)."""
     n = forref.shape[0]
     w1 = forfac * forfrac
     return weighted_take(forref, [
         (jnp.clip(indfor, 0, n - 1), forfac - w1),
-        (jnp.clip(indfor + 1, 0, n - 1), w1)])
+        (jnp.clip(indfor + 1, 0, n - 1), w1)], layout=layout)
 
 
-def minor_1(kminor, scale, minorfrac, indminor):
+def minor_1(kminor, scale, minorfrac, indminor, layout="cln"):
     """1-D minor-gas absorption (rrtm_taumol1.F90:228-231).
     kminor (19, ng)."""
     w1 = scale * minorfrac
     return weighted_take(kminor, [(indminor, scale - w1),
-                                  (indminor + 1, w1)])
+                                  (indminor + 1, w1)], layout=layout)
 
 
-def minor_2(kminor, jm, fm, minorfrac, indminor, key=None):
+def minor_2(kminor, jm, fm, minorfrac, indminor, key=None, layout="cln",
+            windows=None):
     """Eta-dependent minor-gas absorption (rrtm_taumol3.F90:139-143 +
     225-232 pattern). kminor (19, 9, ng) (jt, js, g); jm 0-based.
 
@@ -459,7 +567,8 @@ def minor_2(kminor, jm, fm, minorfrac, indminor, key=None):
         (at(indminor, jm), (1.0 - mf) * (1.0 - fm)),
         (at(indminor, jm + 1), (1.0 - mf) * fm),
         (at(indminor + 1, jm), mf * (1.0 - fm)),
-        (at(indminor + 1, jm + 1), mf * fm)], key=key)
+        (at(indminor + 1, jm + 1), mf * fm)], key=key, layout=layout,
+        windows=windows)
 
 
 def planck_frac_1(fracref):
@@ -467,11 +576,11 @@ def planck_frac_1(fracref):
     return jnp.asarray(fracref)
 
 
-def planck_frac_2(fracref, jpl, fpl):
+def planck_frac_2(fracref, jpl, fpl, layout="cln"):
     """Eta-interpolated Planck fraction (rrtm_taumol3.F90:300-303).
     fracref (ng, 9) (g, js); jpl 0-based."""
     tab = jnp.asarray(fracref).T                      # (njs, ng)
     njs = tab.shape[0]
     return weighted_take(tab, [
         (jpl, 1.0 - fpl),
-        (jnp.clip(jpl + 1, 0, njs - 1), fpl)])
+        (jnp.clip(jpl + 1, 0, njs - 1), fpl)], layout=layout)

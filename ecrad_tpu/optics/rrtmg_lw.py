@@ -81,8 +81,14 @@ def _adjusted_column(col, coldry, chi_ref, thresh, c0, expo):
                      adjfac * chi_ref * coldry * 1.0e-20, col)
 
 
-def _where_g(mask, a, b):
-    return jnp.where(mask[..., None], a, b)
+def _sg(layout, x):
+    """Add the g-broadcast axis to a 2D batch scalar: (ncol, nlev) →
+    (ncol, nlev, 1) [cln] or (nlev, ncol) → (nlev, 1, ncol) [knl]."""
+    return x[..., None] if layout == "cln" else x[:, None, :]
+
+
+def _where_g(mask, a, b, layout="cln"):
+    return jnp.where(_sg(layout, mask), a, b)
 
 
 # Which binary-species ratio each 2-key band interpolates on (the
@@ -115,9 +121,11 @@ def _rat_args(cols: GasColumns, name):
     }[name]
 
 
-def _shared_interp_lw(tables, cols: GasColumns):
+def _shared_interp_lw(tables, cols: GasColumns, layout="cln",
+                      windows=None):
     """Batched band-independent interpolations (see _M2_GROUP note)."""
     c = cols
+    lay = layout
 
     def t(band, key):
         return tables[f"{band}/{key}"]
@@ -147,22 +155,25 @@ def _shared_interp_lw(tables, cols: GasColumns):
 
     # self/foreign continua, unscaled (callers multiply by colh2o)
     w1 = c.selffac * c.selffrac
+    ga = -1 if lay == "cln" else 1
     b_self.run(lambda tab: ri.weighted_take(
         tab.reshape(-1, tab.shape[-1]),
-        [(c.indself, c.selffac - w1), (c.indself + 1, w1)]))
+        [(c.indself, c.selffac - w1), (c.indself + 1, w1)],
+        layout=lay), ga)
     w1f = c.forfac * c.forfrac
     b_for.run(lambda tab: ri.weighted_take(
         tab.reshape(-1, tab.shape[-1]),
-        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)]))
+        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)],
+        layout=lay), ga)
     b_min.run(lambda tab: ri.minor_1(
         tab.reshape(-1, tab.shape[-1]), jnp.ones_like(c.minorfrac),
-        c.minorfrac, c.indminor))
+        c.minorfrac, c.indminor, layout=lay), ga)
     b_m1lo.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        key="lw/m1lo"))
+        key="lw/m1lo", layout=lay, windows=windows), ga)
     b_m1hi.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        jp_offset=12, key="lw/m1hi"))
+        jp_offset=12, key="lw/m1hi", layout=lay, windows=windows), ga)
 
     m2lo = {}
     for name in set(_M2_GROUP.values()):
@@ -178,7 +189,8 @@ def _shared_interp_lw(tables, cols: GasColumns):
                ri.major_2(
                    tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10,
                    c.fac11, _sc0, _sp0, _js0, _fs0, _sc1, _sp1, _js1,
-                   _fs1, eta_edges=True, key=f"lw/m2lo/{_name}"))
+                   _fs1, eta_edges=True, key=f"lw/m2lo/{_name}",
+                   layout=lay, windows=windows), ga)
         m2lo[name] = bt
 
     sh["self"] = b_self
@@ -193,18 +205,37 @@ def _shared_interp_lw(tables, cols: GasColumns):
 class _Band:
     """Holds the per-band tables (as jnp arrays) plus the gas columns."""
 
-    def __init__(self, tables, cols: GasColumns, band: int, shared=None):
+    def __init__(self, tables, cols: GasColumns, band: int, shared=None,
+                 layout="cln", windows=None):
         self.t = {k.split("/", 1)[1]: v for k, v in tables.items()
                   if k.startswith(f"{band}/")}
         self.chi = tables["chi_mls"]
         self.c = cols
         self.band = band
         self.sh = shared
+        self.lay = layout
+        self.win = windows
+
+    def s(self, x):
+        """Add the g-broadcast axis to a batch scalar (see _sg)."""
+        return _sg(self.lay, x)
+
+    def wg(self, a, b):
+        """Troposphere/stratosphere select per g."""
+        return _where_g(self.c.tropo, a, b, self.lay)
+
+    def gvec(self, vec):
+        """(ng,) constant shaped to broadcast along the g axis."""
+        v = jnp.asarray(vec)
+        return v if self.lay == "cln" else v[:, None]
 
     def chi_ref(self, species_1b):
         """chi_mls(species, jp+1) gathered per (col,lev) (1-based species,
         1-based jp+1 == 0-based jp+1 index since jp is 0-based here) —
-        precomputed in prepare_columns (cols.chi_jp1)."""
+        precomputed in prepare_columns (cols.chi_jp1: (ncol, nlev, 7)
+        [cln] or (nlev, 7, ncol) [knl])."""
+        if self.lay == "knl":
+            return self.c.chi_jp1[:, species_1b - 1, :]
         return self.c.chi_jp1[..., species_1b - 1]
 
     def chi_const(self, species_1b, jp_1b):
@@ -215,15 +246,15 @@ class _Band:
         # (rrtm_setcoef_140gp.F90:249-251)
         c = self.c
         if self.sh is not None:
-            h2o = c.colh2o[..., None]
+            h2o = self.s(c.colh2o)
             return (h2o * self.sh["self"].get(self.band),
                     h2o * self.sh["for"].get(self.band))
         tself = ri.self_continuum(self.t["selfref"],
                                   c.selffac * c.colh2o, c.selffrac,
-                                  c.indself)
+                                  c.indself, layout=self.lay)
         tfor = ri.foreign_continuum(self.t["forref"],
                                     c.forfac * c.colh2o, c.forfrac,
-                                    c.indfor)
+                                    c.indfor, layout=self.lay)
         return tself, tfor
 
     def minor1(self, key):
@@ -232,7 +263,8 @@ class _Band:
         if self.sh is not None:
             return self.sh["minor1"].get((self.band, key))
         return ri.minor_1(self.t[key], jnp.ones_like(self.c.minorfrac),
-                          self.c.minorfrac, self.c.indminor)
+                          self.c.minorfrac, self.c.indminor,
+                          layout=self.lay)
 
     def major_lower_1(self):
         c = self.c
@@ -240,7 +272,8 @@ class _Band:
             return self.sh["m1lo"].get(self.band)
         return ri.major_1(self.t["ka"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11,
-                          key="lw/m1lo")
+                          key="lw/m1lo", layout=self.lay,
+                          windows=self.win)
 
     def major_upper_1(self):
         c = self.c
@@ -248,7 +281,8 @@ class _Band:
             return self.sh["m1hi"].get(self.band)
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
                           c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12,
-                          key="lw/m1hi")
+                          key="lw/m1hi", layout=self.lay,
+                          windows=self.win)
 
     def major_lower_2(self, col1, col2, rat0, rat1):
         c = self.c
@@ -261,7 +295,8 @@ class _Band:
                           sc0, sp0, js0, fs0, sc1, sp1, js1, fs1,
                           eta_edges=True,
                           key=(f"lw/m2lo/{_M2_GROUP[self.band]}"
-                               if self.band in _M2_GROUP else None))
+                               if self.band in _M2_GROUP else None),
+                          layout=self.lay, windows=self.win)
 
     def major_upper_2(self, col1, col2, rat0, rat1):
         c = self.c
@@ -271,24 +306,30 @@ class _Band:
                           c.fac00, c.fac01, c.fac10, c.fac11,
                           sc0, sp0, js0, fs0, sc1, sp1, js1, fs1,
                           jp_offset=12, eta_edges=False,
-                          key=f"lw/m2hi/{self.band}")
+                          key=f"lw/m2hi/{self.band}",
+                          layout=self.lay, windows=self.win)
 
     def pfrac_eta(self, key, col1, col2, refrat, n_eta):
         """Eta-interpolated Planck fraction with constant reference ratio."""
         _, _, jpl, fpl = ri.spec_setup(n_eta, col1, col2, refrat)
-        return ri.planck_frac_2(jnp.asarray(self.t[key]), jpl, fpl)
+        return ri.planck_frac_2(jnp.asarray(self.t[key]), jpl, fpl,
+                                layout=self.lay)
 
     def minor_eta(self, key, col1, col2, refrat):
         """Eta-dependent minor gas absorption coefficient."""
         c = self.c
         _, _, jm, fm = ri.spec_setup(8, col1, col2, refrat)
         return ri.minor_2(self.t[key], jm, fm, c.minorfrac, c.indminor,
-                          key="lw/minor2lo")
+                          key="lw/minor2lo", layout=self.lay,
+                          windows=self.win)
 
     def bcast(self, vec):
-        """(ng,) table broadcast to (ncol, nlev, ng)."""
-        shape = self.c.colh2o.shape + (len(vec),)
-        return jnp.broadcast_to(jnp.asarray(vec), shape)
+        """(ng,) table broadcast to the full batch-g shape."""
+        v = jnp.asarray(vec)
+        if self.lay == "knl":
+            nlev, ncol = self.c.colh2o.shape
+            return jnp.broadcast_to(v[:, None], (nlev, len(vec), ncol))
+        return jnp.broadcast_to(v, self.c.colh2o.shape + (len(vec),))
 
 
 # ---------------------------------------------------------------------------
@@ -299,18 +340,18 @@ def band1(tb: _Band):
     c = tb.c
     tself, tfor = tb.self_for()
     scalen2 = c.colbrd * c.scaleminorn2
-    taun2_lo = scalen2[..., None] * tb.minor1("ka_mn2")
-    taun2_hi = scalen2[..., None] * tb.minor1("kb_mn2")
+    taun2_lo = tb.s(scalen2) * tb.minor1("ka_mn2")
+    taun2_hi = tb.s(scalen2) * tb.minor1("kb_mn2")
     corradj_lo = jnp.where(c.pavel < 250.0,
                            1.0 - 0.15 * (250.0 - c.pavel) / 154.4, 1.0)
     corradj_hi = 1.0 - 0.15 * (c.pavel / 95.6)
 
-    tau_lo = corradj_lo[..., None] * (
-        c.colh2o[..., None] * tb.major_lower_1() + tself + tfor + taun2_lo)
-    tau_hi = corradj_hi[..., None] * (
-        c.colh2o[..., None] * tb.major_upper_1() + tfor + taun2_hi)
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
-    pfrac = _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_lo = tb.s(corradj_lo) * (
+        tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor + taun2_lo)
+    tau_hi = tb.s(corradj_hi) * (
+        tb.s(c.colh2o) * tb.major_upper_1() + tfor + taun2_hi)
+    tau = tb.wg( tau_lo, tau_hi)
+    pfrac = tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"]))
     return tau, pfrac
 
@@ -320,11 +361,11 @@ def band2(tb: _Band):
     c = tb.c
     tself, tfor = tb.self_for()
     corradj = 1.0 - 0.05 * (c.pavel - 100.0) / 900.0
-    tau_lo = corradj[..., None] * (
-        c.colh2o[..., None] * tb.major_lower_1() + tself + tfor)
-    tau_hi = c.colh2o[..., None] * tb.major_upper_1() + tfor
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
-    pfrac = _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_lo = tb.s(corradj) * (
+        tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor)
+    tau_hi = tb.s(c.colh2o) * tb.major_upper_1() + tfor
+    tau = tb.wg( tau_lo, tau_hi)
+    pfrac = tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"]))
     return tau, pfrac
 
@@ -345,7 +386,7 @@ def band3(tb: _Band):
                                     c.rat_h2oco2, c.rat_h2oco2_1)
     absn2o_lo = tb.minor_eta("ka_mn2o", c.colh2o, c.colco2, refrat_m_a)
     tau_lo = (tau_major_lo + tself + tfor
-              + adjcoln2o[..., None] * absn2o_lo)
+              + tb.s(adjcoln2o) * absn2o_lo)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colco2,
                             refrat_planck_a, 8)
 
@@ -354,13 +395,14 @@ def band3(tb: _Band):
     # upper minor: 4-point eta
     _, _, jm_hi, fm_hi = ri.spec_setup(4, c.colh2o, c.colco2, refrat_m_b)
     absn2o_hi = ri.minor_2(tb.t["kb_mn2o"], jm_hi, fm_hi, c.minorfrac,
-                           c.indminor, key="lw/minor2hi")
-    tau_hi = tau_major_hi + tfor + adjcoln2o[..., None] * absn2o_hi
+                           c.indminor, key="lw/minor2hi", layout=tb.lay,
+                           windows=tb.win)
+    tau_hi = tau_major_hi + tfor + tb.s(adjcoln2o) * absn2o_hi
     pfrac_hi = tb.pfrac_eta("fracrefb", c.colh2o, c.colco2,
                             refrat_planck_b, 4)
 
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band4(tb: _Band):
@@ -380,15 +422,15 @@ def band4(tb: _Band):
     tau_hi = tb.major_upper_2(c.colo3, c.colco2,
                               c.rat_o3co2, c.rat_o3co2_1)
     # empirical adjustments to upper-atmosphere g-points 8-14 (1-based)
-    ng = tau_hi.shape[-1]
+    ng = tau_hi.shape[1 if tb.lay == "knl" else -1]
     corr = np.ones(ng)
     corr[7:14] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.88, 0.943]
-    tau_hi = tau_hi * jnp.asarray(corr)
+    tau_hi = tau_hi * tb.gvec(corr)
     pfrac_hi = tb.pfrac_eta("fracrefb", c.colo3, c.colco2,
                             refrat_planck_b, 4)
 
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band5(tb: _Band):
@@ -401,11 +443,11 @@ def band5(tb: _Band):
     refrat_m_a = tb.chi_const(1, 7) / tb.chi_const(2, 7)
 
     abso3 = tb.minor_eta("ka_mo3", c.colh2o, c.colco2, refrat_m_a)
-    tau_ccl4 = c.wx_ccl4[..., None] * jnp.asarray(tb.t["ccl4"])
+    tau_ccl4 = tb.s(c.wx_ccl4) * tb.gvec(tb.t["ccl4"])
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.colco2,
                                c.rat_h2oco2, c.rat_h2oco2_1)
-              + tself + tfor + c.colo3[..., None] * abso3 + tau_ccl4)
+              + tself + tfor + tb.s(c.colo3) * abso3 + tau_ccl4)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colco2,
                             refrat_planck_a, 8)
 
@@ -414,8 +456,8 @@ def band5(tb: _Band):
     pfrac_hi = tb.pfrac_eta("fracrefb", c.colo3, c.colco2,
                             refrat_planck_b, 4)
 
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band6(tb: _Band):
@@ -426,12 +468,12 @@ def band6(tb: _Band):
     adjcolco2 = _adjusted_column(c.colco2, c.coldry, tb.chi_ref(2),
                                  3.0, 2.0, 0.77)
     absco2 = tb.minor1("ka_mco2")
-    tau_cfc = (c.wx_cfc11[..., None] * jnp.asarray(tb.t["cfc11adj"])
-               + c.wx_cfc12[..., None] * jnp.asarray(tb.t["cfc12"]))
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
-              + adjcolco2[..., None] * absco2 + tau_cfc)
+    tau_cfc = (tb.s(c.wx_cfc11) * tb.gvec(tb.t["cfc11adj"])
+               + tb.s(c.wx_cfc12) * tb.gvec(tb.t["cfc12"]))
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor
+              + tb.s(adjcolco2) * absco2 + tau_cfc)
     tau_hi = tau_cfc
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau = tb.wg( tau_lo, tau_hi)
     pfrac = tb.bcast(tb.t["fracrefa"])
     return tau, pfrac
 
@@ -453,20 +495,20 @@ def band7(tb: _Band):
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.colo3,
                                c.rat_h2oo3, c.rat_h2oo3_1)
-              + tself + tfor + adj_lo[..., None] * absco2_lo)
+              + tself + tfor + tb.s(adj_lo) * absco2_lo)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colo3,
                             refrat_planck_a, 8)
 
-    tau_hi = (c.colo3[..., None] * tb.major_upper_1()
-              + adj_hi[..., None] * absco2_hi)
-    ng = tau_hi.shape[-1]
+    tau_hi = (tb.s(c.colo3) * tb.major_upper_1()
+              + tb.s(adj_hi) * absco2_hi)
+    ng = tau_hi.shape[1 if tb.lay == "knl" else -1]
     corr = np.ones(ng)
     corr[5:11] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.855]
-    tau_hi = tau_hi * jnp.asarray(corr)
+    tau_hi = tau_hi * tb.gvec(corr)
     pfrac_hi = tb.bcast(tb.t["fracrefb"])
 
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band8(tb: _Band):
@@ -481,18 +523,18 @@ def band8(tb: _Band):
     absn2o_lo = tb.minor1("ka_mn2o")
     absco2_hi = tb.minor1("kb_mco2")
     absn2o_hi = tb.minor1("kb_mn2o")
-    tau_cfc = (c.wx_cfc12[..., None] * jnp.asarray(tb.t["cfc12"])
-               + c.wx_cfc22[..., None] * jnp.asarray(tb.t["cfc22adj"]))
+    tau_cfc = (tb.s(c.wx_cfc12) * tb.gvec(tb.t["cfc12"])
+               + tb.s(c.wx_cfc22) * tb.gvec(tb.t["cfc22adj"]))
 
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
-              + adjcolco2[..., None] * absco2_lo
-              + c.colo3[..., None] * abso3_lo
-              + c.coln2o[..., None] * absn2o_lo + tau_cfc)
-    tau_hi = (c.colo3[..., None] * tb.major_upper_1()
-              + adjcolco2[..., None] * absco2_hi
-              + c.coln2o[..., None] * absn2o_hi + tau_cfc)
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor
+              + tb.s(adjcolco2) * absco2_lo
+              + tb.s(c.colo3) * abso3_lo
+              + tb.s(c.coln2o) * absn2o_lo + tau_cfc)
+    tau_hi = (tb.s(c.colo3) * tb.major_upper_1()
+              + tb.s(adjcolco2) * absco2_hi
+              + tb.s(c.coln2o) * absn2o_hi + tau_cfc)
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"])))
 
 
@@ -511,26 +553,26 @@ def band9(tb: _Band):
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.colch4,
                                c.rat_h2och4, c.rat_h2och4_1)
-              + tself + tfor + adjcoln2o[..., None] * absn2o_lo)
+              + tself + tfor + tb.s(adjcoln2o) * absn2o_lo)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colch4,
                             refrat_planck_a, 8)
 
-    tau_hi = (c.colch4[..., None] * tb.major_upper_1()
-              + adjcoln2o[..., None] * absn2o_hi)
+    tau_hi = (tb.s(c.colch4) * tb.major_upper_1()
+              + tb.s(adjcoln2o) * absn2o_hi)
     pfrac_hi = tb.bcast(tb.t["fracrefb"])
 
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band10(tb: _Band):
     """rrtm_taumol10.F90: H2O both."""
     c = tb.c
     tself, tfor = tb.self_for()
-    tau_lo = c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
-    tau_hi = c.colh2o[..., None] * tb.major_upper_1() + tfor
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_lo = tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor
+    tau_hi = tb.s(c.colh2o) * tb.major_upper_1() + tfor
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"])))
 
 
@@ -539,13 +581,13 @@ def band11(tb: _Band):
     c = tb.c
     tself, tfor = tb.self_for()
     scaleo2 = c.colo2 * c.scaleminor
-    tauo2_lo = scaleo2[..., None] * tb.minor1("ka_mo2")
-    tauo2_hi = scaleo2[..., None] * tb.minor1("kb_mo2")
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tself + tfor
+    tauo2_lo = tb.s(scaleo2) * tb.minor1("ka_mo2")
+    tauo2_hi = tb.s(scaleo2) * tb.minor1("kb_mo2")
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1() + tself + tfor
               + tauo2_lo)
-    tau_hi = (c.colh2o[..., None] * tb.major_upper_1() + tfor + tauo2_hi)
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_hi = (tb.s(c.colh2o) * tb.major_upper_1() + tfor + tauo2_hi)
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"])))
 
 
@@ -560,8 +602,8 @@ def band12(tb: _Band):
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colco2,
                             refrat_planck_a, 8)
     zero = jnp.zeros_like(tau_lo)
-    return (_where_g(c.tropo, tau_lo, zero),
-            _where_g(c.tropo, pfrac_lo, zero))
+    return (tb.wg( tau_lo, zero),
+            tb.wg( pfrac_lo, zero))
 
 
 def band13(tb: _Band):
@@ -585,23 +627,23 @@ def band13(tb: _Band):
 
     tau_lo = (tb.major_lower_2(c.colh2o, c.coln2o,
                                c.rat_h2on2o, c.rat_h2on2o_1)
-              + tself + tfor + adjcolco2[..., None] * absco2)
+              + tself + tfor + tb.s(adjcolco2) * absco2)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.coln2o,
                             refrat_planck_a, 8)
-    tau_hi = c.colo3[..., None] * abso3_hi
+    tau_hi = tb.s(c.colo3) * abso3_hi
     pfrac_hi = tb.bcast(tb.t["fracrefb"])
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 def band14(tb: _Band):
     """rrtm_taumol14.F90: CO2 both."""
     c = tb.c
     tself, tfor = tb.self_for()
-    tau_lo = c.colco2[..., None] * tb.major_lower_1() + tself + tfor
-    tau_hi = c.colco2[..., None] * tb.major_upper_1()
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, tb.bcast(tb.t["fracrefa"]),
+    tau_lo = tb.s(c.colco2) * tb.major_lower_1() + tself + tfor
+    tau_hi = tb.s(c.colco2) * tb.major_upper_1()
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( tb.bcast(tb.t["fracrefa"]),
                      tb.bcast(tb.t["fracrefb"])))
 
 
@@ -613,7 +655,7 @@ def band15(tb: _Band):
     refrat_m_a = tb.chi_const(4, 1) / tb.chi_const(2, 1)
     scalen2 = c.colbrd * c.scaleminor
     absn2 = tb.minor_eta("ka_mn2", c.coln2o, c.colco2, refrat_m_a)
-    taun2 = scalen2[..., None] * absn2
+    taun2 = tb.s(scalen2) * absn2
 
     tau_lo = (tb.major_lower_2(c.coln2o, c.colco2,
                                c.rat_n2oco2, c.rat_n2oco2_1)
@@ -621,8 +663,8 @@ def band15(tb: _Band):
     pfrac_lo = tb.pfrac_eta("fracrefa", c.coln2o, c.colco2,
                             refrat_planck_a, 8)
     zero = jnp.zeros_like(tau_lo)
-    return (_where_g(c.tropo, tau_lo, zero),
-            _where_g(c.tropo, pfrac_lo, zero))
+    return (tb.wg( tau_lo, zero),
+            tb.wg( pfrac_lo, zero))
 
 
 def band16(tb: _Band):
@@ -635,27 +677,31 @@ def band16(tb: _Band):
               + tself + tfor)
     pfrac_lo = tb.pfrac_eta("fracrefa", c.colh2o, c.colch4,
                             refrat_planck_a, 8)
-    tau_hi = c.colch4[..., None] * tb.major_upper_1()
+    tau_hi = tb.s(c.colch4) * tb.major_upper_1()
     pfrac_hi = tb.bcast(tb.t["fracrefb"])
-    return (_where_g(c.tropo, tau_lo, tau_hi),
-            _where_g(c.tropo, pfrac_lo, pfrac_hi))
+    return (tb.wg( tau_lo, tau_hi),
+            tb.wg( pfrac_lo, pfrac_hi))
 
 
 _BAND_FNS = [band1, band2, band3, band4, band5, band6, band7, band8,
              band9, band10, band11, band12, band13, band14, band15, band16]
 
 
-def gas_optical_depth_lw(tables: dict, cols: GasColumns):
-    """All 16 bands → (tau, pfrac), each (ncol, nlev, 140).
+def gas_optical_depth_lw(tables: dict, cols: GasColumns, layout="cln",
+                         windows=None):
+    """All 16 bands → (tau, pfrac), each (ncol, nlev, 140) [cln] or
+    (nlev, 140, ncol) [knl].
 
     Equivalent of ifsrrtm/rrtm_gas_optical_depth.F90 dispatch; output stays
     in top-down level order (no reversal needed downstream).
     """
-    shared = _shared_interp_lw(tables, cols)
+    shared = _shared_interp_lw(tables, cols, layout, windows)
+    g_axis = -1 if layout == "cln" else 1
     taus, pfracs = [], []
     for b in range(1, 17):
-        tb = _Band(tables, cols, b, shared)
+        tb = _Band(tables, cols, b, shared, layout, windows)
         tau, pfrac = _BAND_FNS[b - 1](tb)
         taus.append(tau)
         pfracs.append(pfrac)
-    return jnp.concatenate(taus, axis=-1), jnp.concatenate(pfracs, axis=-1)
+    return (jnp.concatenate(taus, axis=g_axis),
+            jnp.concatenate(pfracs, axis=g_axis))

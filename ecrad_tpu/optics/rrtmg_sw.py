@@ -48,8 +48,12 @@ def _take(table, idx):
     return jnp.take(jnp.asarray(table), idx, axis=0)
 
 
-def _where_g(mask, a, b):
-    return jnp.where(mask[..., None], a, b)
+def _sg(layout, x):
+    return x[..., None] if layout == "cln" else x[:, None, :]
+
+
+def _where_g(mask, a, b, layout="cln"):
+    return jnp.where(_sg(layout, mask), a, b)
 
 
 # Bands whose lower/upper major absorption is 1-key-species: their
@@ -62,8 +66,10 @@ _SW_M1_UPPER = (16, 18, 19, 20, 22, 24, 27, 29)
 _SW_SELFFOR = (16, 17, 18, 19, 20, 21, 22, 23, 24, 29)
 
 
-def _shared_interp_sw(tables, cols: GasColumns):
+def _shared_interp_sw(tables, cols: GasColumns, layout="cln",
+                      windows=None):
     c = cols
+    lay = layout
 
     def t(band, key):
         return tables[f"{band}/{key}"]
@@ -86,32 +92,64 @@ def _shared_interp_sw(tables, cols: GasColumns):
         b_m1hi.add(band, t(band, "kb"))
 
     w1 = c.selffac * c.selffrac
+    ga = -1 if lay == "cln" else 1
     b_self.run(lambda tab: ri.weighted_take(
         tab.reshape(-1, tab.shape[-1]),
-        [(c.indself, c.selffac - w1), (c.indself + 1, w1)]))
+        [(c.indself, c.selffac - w1), (c.indself + 1, w1)],
+        layout=lay), ga)
     w1f = c.forfac * c.forfrac
     b_for.run(lambda tab: ri.weighted_take(
         tab.reshape(-1, tab.shape[-1]),
-        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)]))
+        [(c.indfor, c.forfac - w1f), (jnp.clip(c.indfor + 1, 0, 3), w1f)],
+        layout=lay), ga)
     b_m1lo.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        key="sw/m1lo"))
+        key="sw/m1lo", layout=lay, windows=windows), ga)
     b_m1hi.run(lambda tab: ri.major_1(
         tab, c.jp, c.jt, c.jt1, c.fac00, c.fac01, c.fac10, c.fac11,
-        jp_offset=12, key="sw/m1hi"))
+        jp_offset=12, key="sw/m1hi", layout=lay, windows=windows), ga)
     return {"self": b_self, "for": b_for, "m1lo": b_m1lo, "m1hi": b_m1hi}
 
 
 class _SwBand:
-    def __init__(self, tables, cols: GasColumns, band: int, shared=None):
+    def __init__(self, tables, cols: GasColumns, band: int, shared=None,
+                 layout="cln", windows=None):
         self.t = {k.split("/", 1)[1]: v for k, v in tables.items()
                   if k.startswith(f"{band}/")}
         self.c = cols
         self.band = band
         self.sh = shared
-        c = cols
+        self.lay = layout
+        self.win = windows
+        # batch axes: (col, lev) [cln] / (lev, col) [knl]
+        self.lev_ax = 1 if layout == "cln" else 0
+        self.col_ax = 0 if layout == "cln" else 1
         # topmost lower-atmosphere layer (top-down index), per column
-        self.k_trop_top = jnp.argmax(cols.tropo.astype(jnp.int32), axis=1)
+        self.k_trop_top = jnp.argmax(cols.tropo.astype(jnp.int32),
+                                     axis=self.lev_ax)
+
+    def s(self, x):
+        return _sg(self.lay, x)
+
+    def wg(self, a, b):
+        return _where_g(self.c.tropo, a, b, self.lay)
+
+    def gvec(self, vec):
+        v = jnp.asarray(vec)
+        return v if self.lay == "cln" else v[:, None]
+
+    def zeros_g(self, ng):
+        c2 = self.c.colh2o
+        if self.lay == "knl":
+            return jnp.zeros((c2.shape[0], ng, c2.shape[1]), c2.dtype)
+        return jnp.zeros(c2.shape + (ng,), c2.dtype)
+
+    def _shift_below(self, x):
+        """Value at the layer below (top-down), duplicating the surface
+        layer — the layout-general form of x[:, 1:] ++ x[:, -1:]."""
+        if self.lay == "knl":
+            return jnp.concatenate([x[1:], x[-1:]], axis=0)
+        return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
 
     # --- major absorption -------------------------------------------------
     def major_lower_1(self):
@@ -119,14 +157,16 @@ class _SwBand:
         if self.sh is not None and self.band in _SW_M1_LOWER:
             return self.sh["m1lo"].get(self.band)
         return ri.major_1(self.t["ka"], c.jp, c.jt, c.jt1,
-                          c.fac00, c.fac01, c.fac10, c.fac11)
+                          c.fac00, c.fac01, c.fac10, c.fac11,
+                          layout=self.lay, windows=self.win)
 
     def major_upper_1(self):
         c = self.c
         if self.sh is not None and self.band in _SW_M1_UPPER:
             return self.sh["m1hi"].get(self.band)
         return ri.major_1(self.t["kb"], c.jp, c.jt, c.jt1,
-                          c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12)
+                          c.fac00, c.fac01, c.fac10, c.fac11, jp_offset=12,
+                          layout=self.lay, windows=self.win)
 
     def _major_2_shared_js(self, table, col1, col2, rat, n_eta, jp_offset,
                            key=None):
@@ -152,7 +192,8 @@ class _SwBand:
                 idx = jnp.clip((jp_s * 5 + jt_s) * njs + js + djs, 0,
                                nfl - 1)
                 pairs.append((idx, fsw * fac))
-        tau = ri.weighted_take(flat, pairs, key=key)
+        tau = ri.weighted_take(flat, pairs, key=key, layout=self.lay,
+                               windows=self.win)
         return tau, js, fs
 
     def major_lower_2(self, col1, col2, strrat):
@@ -169,30 +210,30 @@ class _SwBand:
         explicitly (srtm_taumol16.F90:95-102)."""
         c = self.c
         if self.sh is not None:
-            return c.colh2o[..., None] * (self.sh["self"].get(self.band)
+            return self.s(c.colh2o) * (self.sh["self"].get(self.band)
                                           + self.sh["for"].get(self.band))
         tself = ri.self_continuum(self.t["selfref"], c.selffac, c.selffrac,
-                                  c.indself)
+                                  c.indself, layout=self.lay)
         tfor = ri.foreign_continuum(self.t["forref"], c.forfac, c.forfrac,
-                                    c.indfor)
-        return c.colh2o[..., None] * (tself + tfor)
+                                    c.indfor, layout=self.lay)
+        return self.s(c.colh2o) * (tself + tfor)
 
     def foreign_only(self):
         c = self.c
         if self.sh is not None:
-            return c.colh2o[..., None] * self.sh["for"].get(self.band)
+            return self.s(c.colh2o) * self.sh["for"].get(self.band)
         tfor = ri.foreign_continuum(self.t["forref"], c.forfac, c.forfrac,
-                                    c.indfor)
-        return c.colh2o[..., None] * tfor
+                                    c.indfor, layout=self.lay)
+        return self.s(c.colh2o) * tfor
 
     # --- Rayleigh ---------------------------------------------------------
     def taur_const(self):
         ng = self.t["sfluxref"].shape[0]
         rayl = jnp.full((ng,), float(self.t["rayl"]))
-        return self.c.colmol[..., None] * rayl
+        return self.s(self.c.colmol) * self.gvec(rayl)
 
     def taur_per_g(self, key="rayl"):
-        return self.c.colmol[..., None] * jnp.asarray(self.t[key])
+        return self.s(self.c.colmol) * self.gvec(self.t[key])
 
     # --- solar source layer -----------------------------------------------
     def solfr_lower(self):
@@ -201,12 +242,11 @@ class _SwBand:
         c = self.c
         layreffr = int(self.t["layreffr"])
         jp1b = c.jp + 1                       # 1-based jp
-        jp_below = jnp.concatenate([jp1b[:, 1:], jp1b[:, -1:]], axis=1)
-        tropo_below = jnp.concatenate(
-            [c.tropo[:, 1:], c.tropo[:, -1:]], axis=1)
+        jp_below = self._shift_below(jp1b)
+        tropo_below = self._shift_below(c.tropo)
         cross = (tropo_below & (jp1b >= layreffr) & (jp_below < layreffr))
-        k_cross = jnp.argmax(cross.astype(jnp.int32), axis=1)
-        has = jnp.any(cross, axis=1)
+        k_cross = jnp.argmax(cross.astype(jnp.int32), axis=self.lev_ax)
+        has = jnp.any(cross, axis=self.lev_ax)
         k = jnp.where(has, k_cross, self.k_trop_top)
         # laysolfr = min(i+1, laytrop) bottom-up → top-down clamp so the
         # source layer is never above the topmost tropospheric layer
@@ -218,24 +258,30 @@ class _SwBand:
         c = self.c
         layreffr = int(self.t["layreffr"])
         jp1b = c.jp + 1
-        jp_below = jnp.concatenate([jp1b[:, 1:], jp1b[:, -1:]], axis=1)
+        jp_below = self._shift_below(jp1b)
         cross = ((~c.tropo) & (jp1b >= layreffr) & (jp_below < layreffr))
-        k_cross = jnp.argmax(cross.astype(jnp.int32), axis=1)
-        has = jnp.any(cross, axis=1)
+        k_cross = jnp.argmax(cross.astype(jnp.int32), axis=self.lev_ax)
+        has = jnp.any(cross, axis=self.lev_ax)
         return jnp.where(has, k_cross, 0)     # default: top layer
 
     def sflux_const(self):
-        ncol = self.c.colh2o.shape[0]
+        ncol = self.c.colh2o.shape[self.col_ax]
         return jnp.broadcast_to(jnp.asarray(self.t["sfluxref"]),
                                 (ncol,) + self.t["sfluxref"].shape)
 
     def sflux_eta(self, js, fs, k_sol):
         """Eta-interpolated solar source at the source layer.
 
-        sfluxref (ng, n_eta+1); js/fs (ncol, nlev); k_sol (ncol,)."""
+        sfluxref (ng, n_eta+1); js/fs batch-2D; k_sol (ncol,).
+        Returns (ncol, ng) — solar source arrays stay column-major in
+        both layouts."""
         sf = jnp.asarray(self.t["sfluxref"])       # (ng, njs)
-        js_sol = jnp.take_along_axis(js, k_sol[:, None], axis=1)[:, 0]
-        fs_sol = jnp.take_along_axis(fs, k_sol[:, None], axis=1)[:, 0]
+        if self.lay == "knl":
+            js_sol = jnp.take_along_axis(js, k_sol[None, :], axis=0)[0]
+            fs_sol = jnp.take_along_axis(fs, k_sol[None, :], axis=0)[0]
+        else:
+            js_sol = jnp.take_along_axis(js, k_sol[:, None], axis=1)[:, 0]
+            fs_sol = jnp.take_along_axis(fs, k_sol[:, None], axis=1)[:, 0]
         f0 = jnp.moveaxis(jnp.take(sf, js_sol, axis=1), 0, -1)
         f1 = jnp.moveaxis(jnp.take(sf, jnp.clip(js_sol + 1,
                                                 0, sf.shape[1] - 1),
@@ -250,8 +296,8 @@ def _band16(tb):
     tau_lo, _, _ = tb.major_lower_2(c.colh2o, c.colch4,
                                     float(tb.t["strrat1"]))
     tau_lo = tau_lo + tb.self_for()
-    tau_hi = c.colch4[..., None] * tb.major_upper_1()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_hi = tb.s(c.colch4) * tb.major_upper_1()
+    tau = tb.wg( tau_lo, tau_hi)
     return tau, tb.taur_const(), tb.sflux_const()
 
 
@@ -262,7 +308,7 @@ def _band17(tb):
     tau_lo = tau_lo + tb.self_for()
     tau_hi, js_hi, fs_hi = tb.major_upper_2(c.colh2o, c.colco2, strrat)
     tau_hi = tau_hi + tb.foreign_only()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js_hi, fs_hi, tb.solfr_upper())
     return tau, tb.taur_const(), sflux
 
@@ -272,8 +318,8 @@ def _band18(tb):
     tau_lo, js, fs = tb.major_lower_2(c.colh2o, c.colch4,
                                       float(tb.t["strrat"]))
     tau_lo = tau_lo + tb.self_for()
-    tau_hi = c.colch4[..., None] * tb.major_upper_1()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_hi = tb.s(c.colch4) * tb.major_upper_1()
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())
     return tau, tb.taur_const(), sflux
 
@@ -283,20 +329,20 @@ def _band19(tb):
     tau_lo, js, fs = tb.major_lower_2(c.colh2o, c.colco2,
                                       float(tb.t["strrat"]))
     tau_lo = tau_lo + tb.self_for()
-    tau_hi = c.colco2[..., None] * tb.major_upper_1()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_hi = tb.s(c.colco2) * tb.major_upper_1()
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())
     return tau, tb.taur_const(), sflux
 
 
 def _band20(tb):
     c = tb.c
-    absch4 = jnp.asarray(tb.t["absch4"])
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tb.self_for()
-              + c.colch4[..., None] * absch4)
-    tau_hi = (c.colh2o[..., None] * tb.major_upper_1() + tb.foreign_only()
-              + c.colch4[..., None] * absch4)
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    absch4 = tb.gvec(tb.t["absch4"])
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1() + tb.self_for()
+              + tb.s(c.colch4) * absch4)
+    tau_hi = (tb.s(c.colh2o) * tb.major_upper_1() + tb.foreign_only()
+              + tb.s(c.colch4) * absch4)
+    tau = tb.wg( tau_lo, tau_hi)
     return tau, tb.taur_const(), tb.sflux_const()
 
 
@@ -307,7 +353,7 @@ def _band21(tb):
     tau_lo = tau_lo + tb.self_for()
     tau_hi, _, _ = tb.major_upper_2(c.colh2o, c.colco2, strrat)
     tau_hi = tau_hi + tb.foreign_only()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())
     return tau, tb.taur_const(), sflux
 
@@ -316,11 +362,11 @@ def _band22(tb):
     c = tb.c
     o2adj = 1.6
     strrat = float(tb.t["strrat"])
-    o2cont = (4.35e-4 * c.colo2 / (350.0 * 2.0))[..., None]
+    o2cont = tb.s(4.35e-4 * c.colo2 / (350.0 * 2.0))
     tau_lo, js, fs = tb.major_lower_2(c.colh2o, c.colo2, o2adj * strrat)
     tau_lo = tau_lo + tb.self_for() + o2cont
-    tau_hi = (c.colo2[..., None] * o2adj * tb.major_upper_1() + o2cont)
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_hi = (tb.s(c.colo2) * o2adj * tb.major_upper_1() + o2cont)
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())
     return tau, tb.taur_const(), sflux
 
@@ -328,10 +374,10 @@ def _band22(tb):
 def _band23(tb):
     c = tb.c
     givfac = float(tb.t["givfac"])
-    tau_lo = (givfac * c.colh2o[..., None] * tb.major_lower_1()
+    tau_lo = (givfac * tb.s(c.colh2o) * tb.major_lower_1()
               + tb.self_for())
     tau_hi = jnp.zeros_like(tau_lo)
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau = tb.wg( tau_lo, tau_hi)
     return tau, tb.taur_per_g(), tb.sflux_const()
 
 
@@ -339,43 +385,43 @@ def _band24(tb):
     c = tb.c
     tau_lo, js, fs = tb.major_lower_2(c.colh2o, c.colo2,
                                       float(tb.t["strrat"]))
-    tau_lo = (tau_lo + c.colo3[..., None] * jnp.asarray(tb.t["abso3a"])
+    tau_lo = (tau_lo + tb.s(c.colo3) * tb.gvec(tb.t["abso3a"])
               + tb.self_for())
-    tau_hi = (c.colo2[..., None] * tb.major_upper_1()
-              + c.colo3[..., None] * jnp.asarray(tb.t["abso3b"]))
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_hi = (tb.s(c.colo2) * tb.major_upper_1()
+              + tb.s(c.colo3) * tb.gvec(tb.t["abso3b"]))
+    tau = tb.wg( tau_lo, tau_hi)
     # Rayleigh: eta-dependent in lower (RAYLA (ng,9)), constant-g upper
     rayla = jnp.asarray(tb.t["rayla"]).T         # (9, ng)
     ray = ri.weighted_take(rayla, [
-        (js, 1.0 - fs), (jnp.clip(js + 1, 0, 8), fs)])
-    taur_lo = c.colmol[..., None] * ray
-    taur_hi = c.colmol[..., None] * jnp.asarray(tb.t["raylb"])
-    taur = _where_g(c.tropo, taur_lo, taur_hi)
+        (js, 1.0 - fs), (jnp.clip(js + 1, 0, 8), fs)], layout=tb.lay)
+    taur_lo = tb.s(c.colmol) * ray
+    taur_hi = tb.s(c.colmol) * tb.gvec(tb.t["raylb"])
+    taur = tb.wg( taur_lo, taur_hi)
     sflux = tb.sflux_eta(js, fs, tb.solfr_lower())
     return tau, taur, sflux
 
 
 def _band25(tb):
     c = tb.c
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1()
-              + c.colo3[..., None] * jnp.asarray(tb.t["abso3a"]))
-    tau_hi = c.colo3[..., None] * jnp.asarray(tb.t["abso3b"])
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1()
+              + tb.s(c.colo3) * tb.gvec(tb.t["abso3a"]))
+    tau_hi = tb.s(c.colo3) * tb.gvec(tb.t["abso3b"])
+    tau = tb.wg( tau_lo, tau_hi)
     return tau, tb.taur_per_g(), tb.sflux_const()
 
 
 def _band26(tb):
     c = tb.c
     ng = tb.t["sfluxref"].shape[0]
-    tau = jnp.zeros(c.colh2o.shape + (ng,), c.colh2o.dtype)
+    tau = tb.zeros_g(ng)
     return tau, tb.taur_per_g(), tb.sflux_const()
 
 
 def _band27(tb):
     c = tb.c
-    tau_lo = c.colo3[..., None] * tb.major_lower_1()
-    tau_hi = c.colo3[..., None] * tb.major_upper_1()
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_lo = tb.s(c.colo3) * tb.major_lower_1()
+    tau_hi = tb.s(c.colo3) * tb.major_upper_1()
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_const() * float(tb.t["scalekur"])
     return tau, tb.taur_per_g(), sflux
 
@@ -385,18 +431,18 @@ def _band28(tb):
     strrat = float(tb.t["strrat"])
     tau_lo, _, _ = tb.major_lower_2(c.colo3, c.colo2, strrat)
     tau_hi, js_hi, fs_hi = tb.major_upper_2(c.colo3, c.colo2, strrat)
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau = tb.wg( tau_lo, tau_hi)
     sflux = tb.sflux_eta(js_hi, fs_hi, tb.solfr_upper())
     return tau, tb.taur_const(), sflux
 
 
 def _band29(tb):
     c = tb.c
-    tau_lo = (c.colh2o[..., None] * tb.major_lower_1() + tb.self_for()
-              + c.colco2[..., None] * jnp.asarray(tb.t["absco2"]))
-    tau_hi = (c.colco2[..., None] * tb.major_upper_1()
-              + c.colh2o[..., None] * jnp.asarray(tb.t["absh2o"]))
-    tau = _where_g(c.tropo, tau_lo, tau_hi)
+    tau_lo = (tb.s(c.colh2o) * tb.major_lower_1() + tb.self_for()
+              + tb.s(c.colco2) * tb.gvec(tb.t["absco2"]))
+    tau_hi = (tb.s(c.colco2) * tb.major_upper_1()
+              + tb.s(c.colh2o) * tb.gvec(tb.t["absh2o"]))
+    tau = tb.wg( tau_lo, tau_hi)
     return tau, tb.taur_const(), tb.sflux_const()
 
 
@@ -406,21 +452,24 @@ _SW_BAND_FNS = {16: _band16, 17: _band17, 18: _band18, 19: _band19,
                 28: _band28, 29: _band29}
 
 
-def gas_optical_depth_sw(tables: dict, cols: GasColumns):
+def gas_optical_depth_sw(tables: dict, cols: GasColumns, layout="cln",
+                         windows=None):
     """All 14 SW bands → (taug, taur, sfluxzen).
 
-    taug/taur: (ncol, nlev, 112); sfluxzen: (ncol, 112).
+    taug/taur: (ncol, nlev, 112) [cln] or (nlev, 112, ncol) [knl];
+    sfluxzen: (ncol, 112) in both layouts.
     Equivalent of ifsrrtm/srtm_gas_optical_depth.F90 (which also converts
     to od = taug + taur and ssa = taur/od — done in rrtmg.py here).
     """
-    shared = _shared_interp_sw(tables, cols)
+    shared = _shared_interp_sw(tables, cols, layout, windows)
+    g_axis = -1 if layout == "cln" else 1
     taugs, taurs, sfluxes = [], [], []
     for b in range(16, 30):
-        tb = _SwBand(tables, cols, b, shared)
+        tb = _SwBand(tables, cols, b, shared, layout, windows)
         taug, taur, sflux = _SW_BAND_FNS[b](tb)
         taugs.append(taug)
         taurs.append(taur)
         sfluxes.append(sflux)
-    return (jnp.concatenate(taugs, axis=-1),
-            jnp.concatenate(taurs, axis=-1),
+    return (jnp.concatenate(taugs, axis=g_axis),
+            jnp.concatenate(taurs, axis=g_axis),
             jnp.concatenate(sfluxes, axis=-1))

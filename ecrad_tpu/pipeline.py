@@ -46,23 +46,30 @@ def _needs_mcica_sample(config: Config) -> bool:
 
 def add_cloud_sample(config: Config, tables: Tables, cloud: dict) -> dict:
     """Attach the on-device stochastic cloud sample (od_scaling +
-    total_cloud_cover per band set) to the cloud dict."""
+    total_cloud_cover per band set) to the cloud dict.
+
+    The od_scaling layout follows interface.use_kernel_layout — kernel
+    layout (nlev, ng, ncol) when the fused-solver hot path is active,
+    classic (ncol, nlev, ng) otherwise — so it matches what the solver
+    the sample is destined for expects."""
     if cloud is None or not _needs_mcica_sample(config):
         return cloud
+    from ecrad_tpu.interface import use_kernel_layout
+    layout = "knl" if use_kernel_layout(config, tables, cloud) else "cln"
     pdf = tables.pdf_sampler
     out = dict(cloud)
     if config.do_sw and config.sw_solver == Solver.MCICA:
         od_scaling_sw, tcc_sw = cloud_generator_device(
             config, pdf, cloud["iseed"], cloud["fraction"],
             cloud["overlap_param"], cloud["fractional_std"],
-            config.n_g_sw)
+            config.n_g_sw, layout=layout)
         out.update(od_scaling_sw=od_scaling_sw,
                    total_cloud_cover_sw=tcc_sw)
     if config.do_lw and config.lw_solver == Solver.MCICA:
         od_scaling_lw, tcc_lw = cloud_generator_device(
             config, pdf, cloud["iseed"] + LW_SEED_OFFSET,
             cloud["fraction"], cloud["overlap_param"],
-            cloud["fractional_std"], config.n_g_lw)
+            cloud["fractional_std"], config.n_g_lw, layout=layout)
         out.update(od_scaling_lw=od_scaling_lw,
                    total_cloud_cover_lw=tcc_lw)
     return out

@@ -411,7 +411,8 @@ def sample_pdf_jnp(pdf_tables, fsd, cdf):
 
 @profiling.traced("radiation_cloud_generator:cloud_generator")
 def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
-                           overlap_param, fractional_std, ng: int):
+                           overlap_param, fractional_std, ng: int,
+                           layout="cln"):
     """On-device stochastic cloud sample.
 
     Args:
@@ -419,7 +420,11 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
       frac: (ncol, nlev) cloud fraction (cropped).
       overlap_param: (ncol, nlev-1).
       fractional_std: (ncol, nlev).
-    Returns (od_scaling (ncol, nlev, ng), total_cloud_cover (ncol,)).
+      layout: "cln" → od_scaling (ncol, nlev, ng); "knl" → od_scaling
+        (nlev, ng, ncol), the fused-solver kernel layout (the Pallas
+        level-scan already runs in that layout, so this skips the two
+        big relayout copies; identical random streams either way).
+    Returns (od_scaling, total_cloud_cover (ncol,)).
     """
     ncol, nlev = frac.shape
     exp_exp = config.overlap_scheme == Overlap.EXPONENTIAL
@@ -458,6 +463,30 @@ def cloud_generator_device(config: Config, pdf_tables, iseed, frac,
                     total_cloud_cover, 0.0)
 
     from ecrad_tpu.solvers.adding import _mode as _adding_mode
+    if layout == "knl":
+        # kernel-layout output: the Pallas scan already runs in
+        # (nlev, ng, ncolp) — skip its final transpose and run the
+        # sampling epilogue in that layout directly
+        assert _adding_mode() == "pallas", \
+            "kernel-layout generator requires the Pallas scan path"
+        cdf = _generator_scan_pallas(
+            config, keys, draw, frac, cum, pair, overhang, op_inhom,
+            is_any_cloud, total_cloud_cover, exp_exp, ng,
+            out_layout="knl")                      # (nlev, ng, ncol)
+        fsd_k = fractional_std.T                   # (nlev, ncol)
+        if pdf_tables.get("cheb_fit") is not None:
+            fit = pdf_tables["cheb_fit"]
+            c = cheb_coeffs_for(fit, fsd_k, cdf.dtype)  # (nlev, ncol, d)
+            sampled = cheb_eval(fit, lambda k: c[..., k][:, None, :],
+                                c.shape[-1], cdf)
+        else:
+            sampled = sample_pdf_jnp(pdf_tables, fsd_k[:, None, :], cdf)
+        od_scaling = jnp.where(cdf > 0.0, sampled, 0.0)
+        od_scaling = jnp.where(is_any_cloud.T[:, None, :],
+                               od_scaling, 0.0)
+        od_scaling = jnp.where(tcc[None, None, :] > 0.0, od_scaling, 0.0)
+        return od_scaling, tcc
+
     if _adding_mode() == "pallas":
         # Pallas scan kernel: identical per-column threefry streams
         # (same draws, columns vmapped onto lanes), carries in VMEM.
@@ -502,7 +531,7 @@ def _m1_fields(frac, cum, pair, overhang, op_inhom):
 
 def _generator_scan_pallas(config, keys, draw, frac, cum, pair, overhang,
                            op_inhom, is_any_cloud, total_cloud_cover,
-                           exp_exp, ng):
+                           exp_exp, ng, out_layout="cln"):
     """Kernel-based level scan (solvers/pallas_generator.py): identical
     recurrence and random streams as _generator_scan_jnp."""
     from ecrad_tpu.solvers import pallas_generator
@@ -525,6 +554,8 @@ def _generator_scan_pallas(config, keys, draw, frac, cum, pair, overhang,
         _pad_cols(rc, ncolp), _pad_cols(ri, ncolp),
         _pad_cols(ri2, ncolp), scalars, _pad_cols(trigger, ncolp),
         exp_exp)
+    if out_layout == "knl":
+        return cdf[:, :, :ncol]                         # (nlev, ng, ncol)
     return jnp.transpose(cdf[:, :, :ncol], (2, 0, 1))   # (ncol, nlev, ng)
 
 

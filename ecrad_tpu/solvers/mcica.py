@@ -89,22 +89,29 @@ def solver_mcica_lw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     do_lw_cloud_scattering=True,
                     do_lw_aerosol_scattering=False,
                     do_lw_derivatives=False,
-                    spec_matrix=None) -> LwFluxes:
+                    spec_matrix=None, layout="cln") -> LwFluxes:
     """Args:
-      od/ssa/g: clear-sky (gas+aerosol) (ncol, nlev, ng)
+      od/ssa/g: clear-sky (gas+aerosol) (ncol, nlev, ng), or
+        (nlev, ng, ncol) with layout="knl" (kernel layout, fused path
+        only; od_scaling/planck_hl likewise)
       od_cloud_b/...: in-cloud per band (ncol, nlev, nband)
       band_from_g: (ng,) 0-based
       od_scaling: (ncol, nlev, ng); total_cloud_cover (ncol,)
       cloud_fraction: (ncol, nlev)
       spec_matrix: optional (ng, nspec) projection for spectral profiles
     """
+    if layout == "knl":
+        assert (_use_fused(spec_matrix, band_from_g)
+                and do_lw_cloud_scattering
+                and not do_lw_aerosol_scattering), \
+            "kernel-layout inputs require the fused-solver configuration"
     if (_use_fused(spec_matrix, band_from_g) and do_lw_cloud_scattering
             and not do_lw_aerosol_scattering):
         return _solver_mcica_lw_fused(
             od, od_cloud_b, ssa_cloud_b, g_cloud_b, band_from_g,
             od_scaling, total_cloud_cover, cloud_fraction, planck_hl,
             emission, albedo, cloud_fraction_threshold,
-            do_lw_derivatives)
+            do_lw_derivatives, layout=layout)
     planck_top, planck_bot = planck_hl[:, :-1], planck_hl[:, 1:]
     bb = jnp.asarray(band_from_g)
 
@@ -205,26 +212,38 @@ def _finish_lw(clear, tot, total_cloud_cover, cloud_fraction_threshold,
 def _solver_mcica_lw_fused(od, od_cloud_b, ssa_cloud_b, g_cloud_b,
                            band_from_g, od_scaling, total_cloud_cover,
                            cloud_fraction, planck_hl, emission, albedo,
-                           cloud_fraction_threshold, do_lw_derivatives
-                           ) -> LwFluxes:
-    """Fused-kernel LW path (see solvers/pallas_mcica.py)."""
+                           cloud_fraction_threshold, do_lw_derivatives,
+                           layout="cln") -> LwFluxes:
+    """Fused-kernel LW path (see solvers/pallas_mcica.py).
+
+    layout="knl": od/od_scaling/planck_hl arrive already in kernel
+    layout (nlev, ng, ncol) from the gas-optics producers — only the
+    small per-band cloud arrays and surface planes are relaid here, so
+    no (ncol·nlev·ng) transpose exists anywhere on the hot path."""
     from ecrad_tpu.solvers import pallas_mcica
     from ecrad_tpu.solvers.adding import (LwAdding, _kernel_cols,
-                                          _stack_bot, _stack_top,
-                                          _to_kern, _to_kern_surf)
+                                          _pad_cols, _stack_bot,
+                                          _stack_top, _to_kern,
+                                          _to_kern_surf)
 
-    ncol, nlev, ng = od.shape
+    ncol, nlev = cloud_fraction.shape
     ncolp = _kernel_cols(ncol)
     gcounts = _gcounts(band_from_g)
     cloudy = (cloud_fraction >= cloud_fraction_threshold)
-    maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
     albedo_b = jnp.broadcast_to(albedo, emission.shape)
 
+    if layout == "knl":
+        maskk = _pad_cols(cloudy.astype(od.dtype).T[:, None, :], ncolp)
+        big = lambda x: _pad_cols(x, ncolp)
+        band = lambda x: _pad_cols(jnp.transpose(x, (1, 2, 0)), ncolp)
+    else:
+        maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
+        big = lambda x: _to_kern(x, ncolp)
+        band = lambda x: _to_kern(x, ncolp)
+
     r = pallas_mcica.lw_fused(
-        _to_kern(od, ncolp), _to_kern(od_cloud_b, ncolp),
-        _to_kern(ssa_cloud_b, ncolp), _to_kern(g_cloud_b, ncolp),
-        _to_kern(od_scaling, ncolp), maskk,
-        _to_kern(planck_hl, ncolp),
+        big(od), band(od_cloud_b), band(ssa_cloud_b), band(g_cloud_b),
+        big(od_scaling), maskk, big(planck_hl),
         _to_kern_surf(emission, ncolp), _to_kern_surf(albedo_b, ncolp),
         gcounts, do_lw_derivatives)
 
@@ -267,13 +286,17 @@ def solver_mcica_sw(od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b,
                     albedo_diffuse, albedo_direct,
                     cloud_fraction_threshold=1.0e-6,
                     do_sw_delta_scaling_with_gases=False,
-                    spec_matrix=None) -> SwFluxes:
+                    spec_matrix=None, layout="cln") -> SwFluxes:
+    if layout == "knl":
+        assert _use_fused(spec_matrix, band_from_g), \
+            "kernel-layout inputs require the fused-solver configuration"
     if _use_fused(spec_matrix, band_from_g):
         return _solver_mcica_sw_fused(
             od, ssa, g, od_cloud_b, ssa_cloud_b, g_cloud_b, band_from_g,
             od_scaling, total_cloud_cover, cloud_fraction, incoming_sw,
             cos_sza, albedo_diffuse, albedo_direct,
-            cloud_fraction_threshold, do_sw_delta_scaling_with_gases)
+            cloud_fraction_threshold, do_sw_delta_scaling_with_gases,
+            layout=layout)
     mu0 = jnp.maximum(cos_sza, 1.0e-10)[:, None, None]
     bb = jnp.asarray(band_from_g)
 
@@ -375,18 +398,28 @@ def _solver_mcica_sw_fused(od, ssa, g, od_cloud_b, ssa_cloud_b,
                            total_cloud_cover, cloud_fraction,
                            incoming_sw, cos_sza, albedo_diffuse,
                            albedo_direct, cloud_fraction_threshold,
-                           do_sw_delta_scaling_with_gases) -> SwFluxes:
-    """Fused-kernel SW path (see solvers/pallas_mcica.py)."""
+                           do_sw_delta_scaling_with_gases,
+                           layout="cln") -> SwFluxes:
+    """Fused-kernel SW path (see solvers/pallas_mcica.py); layout="knl"
+    receives od/ssa/g/od_scaling already in kernel layout."""
     from ecrad_tpu.solvers import pallas_mcica
     from ecrad_tpu.solvers.adding import (SwAdding, _kernel_cols,
                                           _pad_cols, _stack_top,
                                           _to_kern, _to_kern_surf)
 
-    ncol, nlev, ng = od.shape
+    ncol, nlev = cloud_fraction.shape
     ncolp = _kernel_cols(ncol)
     gcounts = _gcounts(band_from_g)
     cloudy = (cloud_fraction >= cloud_fraction_threshold)
-    maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
+
+    if layout == "knl":
+        maskk = _pad_cols(cloudy.astype(od.dtype).T[:, None, :], ncolp)
+        big = lambda x: _pad_cols(x, ncolp)
+        band = lambda x: _pad_cols(jnp.transpose(x, (1, 2, 0)), ncolp)
+    else:
+        maskk = _to_kern(cloudy.astype(od.dtype)[:, :, None], ncolp)
+        big = lambda x: _to_kern(x, ncolp)
+        band = lambda x: _to_kern(x, ncolp)
 
     mu0_col = jnp.maximum(cos_sza, 1.0e-10)            # (ncol,)
     mu0k = _pad_cols(mu0_col[None, :], ncolp)          # (1, ncolp)
@@ -395,9 +428,9 @@ def _solver_mcica_sw_fused(od, ssa, g, od_cloud_b, ssa_cloud_b,
                                    incoming_sw.shape)
 
     r = pallas_mcica.sw_fused(
-        _to_kern(od, ncolp), _to_kern(ssa, ncolp), _to_kern(g, ncolp),
-        _to_kern(od_cloud_b, ncolp), _to_kern(ssa_cloud_b, ncolp),
-        _to_kern(g_cloud_b, ncolp), _to_kern(od_scaling, ncolp),
+        big(od), big(ssa), big(g),
+        band(od_cloud_b), band(ssa_cloud_b), band(g_cloud_b),
+        big(od_scaling),
         maskk, mu0k, _to_kern_surf(incoming_sw, ncolp),
         _to_kern_surf(alb_dif, ncolp),
         _to_kern_surf(alb_dir_mu0, ncolp),

@@ -52,6 +52,7 @@ def main():
 
     step, args = ge._build(ncol=ncol, dtype="float32")
     config, tables = step.config, step.tables
+    from ecrad_tpu.interface import use_kernel_layout
     arg_names = ["pressure_hl", "temperature_hl", "gas_mmr", "cos_sza",
                  "skin_temperature", "sw_albedo", "sw_albedo_direct",
                  "lw_emissivity", "cloud", "aerosol"]
@@ -81,9 +82,11 @@ def main():
 
     # 2) optical properties (RRTMG gas optics + aerosol + cloud optics
     #    + albedo mapping)
+    layout = "knl" if use_kernel_layout(config, tables, cloud) else "cln"
+    print(f"# layout: {layout}")
     op_fn = jax.jit(lambda c, a, k: reduce_scalar(_optical_properties(
         config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
-        **k)))
+        layout=layout, **k)))
     t, _ = timeit(op_fn, cloud_s, aerosol, kw)
     rows.append(("optical_properties (gas+aerosol+cloud optics)", t - rtt))
 
@@ -107,7 +110,7 @@ def main():
                 skin_temperature=k["skin_temperature"],
                 solar_irradiance=step.solar,
                 min_gas_od_lw=config.min_gas_od_lw,
-                min_gas_od_sw=config.min_gas_od_sw)
+                min_gas_od_sw=config.min_gas_od_sw, layout=layout)
             return reduce_scalar(r._asdict())
         return jax.jit(f)
 
@@ -141,7 +144,7 @@ def main():
 
     op = jax.jit(lambda c, a, k: _optical_properties(
         config, tables, solar_irradiance=step.solar, cloud=c, aerosol=a,
-        **k))(cloud_s, aerosol, kw)
+        layout=layout, **k))(cloud_s, aerosol, kw)
     op = jax.block_until_ready(op)
 
     # 3) McICA LW / 4) McICA SW solvers from precomputed properties
@@ -158,7 +161,8 @@ def main():
             lw_emission, op_["lw_albedo_g"],
             do_lw_cloud_scattering=config.do_lw_cloud_scattering,
             do_lw_aerosol_scattering=config.do_lw_aerosol_scattering,
-            do_lw_derivatives=config.do_lw_derivatives))
+            do_lw_derivatives=config.do_lw_derivatives,
+            layout=layout))
 
     t, _ = timeit(jax.jit(lw_fn), op, cloud_s)
     rows.append(("solver_mcica_lw (two-stream + adding)", t - rtt))
@@ -171,7 +175,7 @@ def main():
             tables.band_from_g_sw, cl["od_scaling_sw"],
             cl["total_cloud_cover_sw"], op_["frac"], go.incoming_sw,
             cos_sza, op_["sw_albedo_diffuse_g"],
-            op_["sw_albedo_direct_g"]))
+            op_["sw_albedo_direct_g"], layout=layout))
 
     t, _ = timeit(jax.jit(sw_fn), op, cloud_s, kw["cos_sza"])
     rows.append(("solver_mcica_sw (two-stream + adding)", t - rtt))
