@@ -176,7 +176,10 @@ def _shared_interp_lw(tables, cols: GasColumns, layout="cln",
         jp_offset=12, key="lw/m1hi", layout=lay, windows=windows), ga)
 
     m2lo = {}
-    for name in set(_M2_GROUP.values()):
+    # sorted: set iteration is hash-randomized per process, which would
+    # make the traced HLO (and the persistent-compilation-cache key)
+    # nondeterministic across runs
+    for name in sorted(set(_M2_GROUP.values())):
         bt = ri.BatchedTake()
         for band, g in _M2_GROUP.items():
             if g == name:
