@@ -406,6 +406,21 @@ class Config:
         if "sw_entrapment_name" in nml:
             kw["sw_entrapment"] = _match_enum(
                 ENTRAPMENT_NAMES, nml["sw_entrapment_name"], "entrapment")
+        # deprecated pre-2019 "encroachment" aliases
+        # (radiation_config.F90:87-94,973-976,1047-1051): value names
+        # map 1:1 onto the entrapment enum in order
+        if "sw_encroachment_name" in nml and "sw_entrapment_name" \
+                not in nml:
+            kw["sw_entrapment"] = _match_enum(
+                {"zero": Entrapment.ZERO,
+                 "minimum": Entrapment.EDGE_ONLY,
+                 "fractal": Entrapment.EXPLICIT,
+                 "computed": Entrapment.EXPLICIT_NON_FRACTAL,
+                 "maximum": Entrapment.MAXIMUM},
+                nml["sw_encroachment_name"], "encroachment")
+        if "encroachment_scaling" in nml \
+                and float(nml["encroachment_scaling"]) >= 0.0:
+            kw["overhang_factor"] = float(nml["encroachment_scaling"])
 
         def as_tuple(x, cast):
             if x is None:

@@ -142,6 +142,17 @@ def run(config_path: str, input_path: str, output_path: str,
         # resolved-config dump (radiation_config.F90:1411-1612)
         from ecrad_tpu.config import describe_config
         print(describe_config(config))
+
+    # setup-optics diagnostic dumps (ecrad_driver.F90:224-230)
+    if driver_config.do_save_aerosol_optics and tables.aerosol:
+        from ecrad_tpu.io.save_optics import save_aerosol_optics
+        save_aerosol_optics("aerosol_optics.nc", tables.aerosol,
+                            hdf5=driver_config.do_write_hdf5)
+    if driver_config.do_save_cloud_optics \
+            and config.use_general_cloud_optics and tables.cloud:
+        from ecrad_tpu.io.save_optics import save_general_cloud_optics
+        save_general_cloud_optics("hydrometeor_optics", tables.cloud,
+                                  hdf5=driver_config.do_write_hdf5)
     with profiling.hook('ecrad_driver:read_input'):
         inp = read_input(input_path, driver_config)
 

@@ -35,6 +35,10 @@ class DriverConfig:
     do_write_double_precision: bool = False
     do_write_hdf5: bool = False    # ecrad_driver_config.F90:121
     do_correct_unphysical_inputs: bool = False
+    # setup-optics diagnostic dumps (ecrad_driver_config.F90:98,227;
+    # ecrad_driver.F90:224-230)
+    do_save_aerosol_optics: bool = False
+    do_save_cloud_optics: bool = False
     experiment_name: str = ""
     # Cloud geometry overrides
     cloud_separation_scale_toa: float = -1.0

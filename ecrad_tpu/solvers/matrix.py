@@ -27,6 +27,17 @@ _C = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0,
 # squarings.
 _MAX_SQUARINGS = 60
 
+# Static squaring count for the accelerator path: a data-dependent
+# while_loop costs ~0.5-1 ms per iteration in TPU dispatch, which
+# multiplied by the 137-level layer loop made SPARTACUS ~200x slower
+# than its memory roofline.  A fixed masked chain of 13 squarings is
+# exact for 1-norms up to 2^13 * theta3 ~ 3.2e4 — above anything the
+# solvers produce (od capped by max_cloud_od, transfer rates capped by
+# max_3d_transfer_rate); norms beyond that fall back to a less-scaled
+# Pade evaluation instead of more squarings (still finite, reference
+# semantics unchanged for all physical inputs).
+_STATIC_SQUARINGS = 13
+
 
 def mat_x_vec(A, b):
     """out_i = sum_j A[...,i,j] b[...,j]."""
@@ -104,6 +115,9 @@ def expm(A):
     frac, expo = jnp.frexp(jnp.maximum(x, 1e-300))
     expo = jnp.where(frac == 0.5, expo - 1, expo)
     expo = jnp.maximum(expo, 0)
+    on_cpu = jax.default_backend() == "cpu"
+    if not on_cpu:
+        expo = jnp.minimum(expo, _STATIC_SQUARINGS)
     A = A * jnp.exp2(-expo)[..., None, None].astype(A.dtype)
 
     A2 = A @ A
@@ -113,6 +127,13 @@ def expm(A):
     U = A @ V
     V = _C[6] * A6 + _C[4] * A4 + _C[2] * A2 + _C[0] * eye
     R = solve_mat(V - U, 2.0 * U) + eye
+
+    if not on_cpu:
+        # fixed masked chain: no while_loop dispatch overhead on device;
+        # identical squaring counts to the dynamic loop for expo <= 13
+        for i in range(_STATIC_SQUARINGS):
+            R = jnp.where((i < expo)[..., None, None], R @ R, R)
+        return R
 
     n_needed = jnp.minimum(jnp.max(expo), _MAX_SQUARINGS)
 
@@ -127,6 +148,123 @@ def expm(A):
 
     _, R = jax.lax.while_loop(cond, body, (jnp.int32(0), R))
     return R
+
+
+# ---------------------------------------------------------------------------
+# Plane-form ("structure of arrays") small-matrix algebra.
+#
+# A matrix is a list-of-lists of equal-shaped jnp arrays ("planes"); a
+# vector is a list of planes.  On TPU this is the *fast* representation
+# for the SPARTACUS layer math: arrays shaped (..., m, m) put the tiny
+# matrix dims on the physical (sublane, lane) tile, which pads 3x3/6x6
+# up to (8, 128) — the round-4 profile showed the layer-matrix phase
+# running ~200x above its memory roofline because every slice/solve/
+# matmul paid that padding.  Plane form keeps every operation a fused
+# full-width elementwise op on well-tiled (batch...) arrays; the m^3
+# unrolled FLOPs are trivial on the VPU.
+
+def planes_from(A):
+    """(..., m, n) -> [[plane]]."""
+    m, n = A.shape[-2], A.shape[-1]
+    return [[A[..., i, j] for j in range(n)] for i in range(m)]
+
+
+def planes_to(P):
+    """[[plane]] -> (..., m, n)."""
+    return jnp.stack([jnp.stack(row, axis=-1) for row in P], axis=-2)
+
+
+def vplanes_from(v):
+    return [v[..., i] for i in range(v.shape[-1])]
+
+
+def vplanes_to(p):
+    return jnp.stack(p, axis=-1)
+
+
+def pl_matmul(A, B):
+    m, k, n = len(A), len(B), len(B[0])
+    return [[sum(A[i][q] * B[q][j] for q in range(k))
+             for j in range(n)] for i in range(m)]
+
+
+def pl_matvec(A, x):
+    return [sum(A[i][q] * x[q] for q in range(len(x)))
+            for i in range(len(A))]
+
+
+def _pl_lu(A):
+    """LU without pivoting on plane form (same recurrence as
+    _lu_nopivot)."""
+    m = len(A)
+    LU = [row[:] for row in A]
+    for k in range(m - 1):
+        inv_diag = 1.0 / LU[k][k]
+        for i in range(k + 1, m):
+            LU[i][k] = LU[i][k] * inv_diag
+            for j in range(k + 1, m):
+                LU[i][j] = LU[i][j] - LU[i][k] * LU[k][j]
+    return LU
+
+
+def pl_solve_vec(A, b):
+    """Solve A x = b; A [[plane]], b [plane] -> [plane]."""
+    return _lu_sub(_pl_lu(A), list(b))
+
+
+def pl_solve_mat(A, B):
+    """Solve A X = B in plane form."""
+    LU = _pl_lu(A)
+    m, n = len(A), len(B[0])
+    cols = [_lu_sub(LU, [B[i][j] for i in range(m)]) for j in range(n)]
+    return [[cols[j][i] for j in range(n)] for i in range(m)]
+
+
+def pl_expm(A):
+    """Matrix exponential in plane form: Pade-7 scaling-and-squaring
+    with the fixed masked squaring chain (see _STATIC_SQUARINGS; exact
+    for 1-norms <= 2^13 * theta3, far above the solver's clamped
+    inputs)."""
+    m = len(A)
+    colsums = [sum(jnp.abs(A[i][j]) for i in range(m)) for j in range(m)]
+    norm = colsums[0]
+    for cs in colsums[1:]:
+        norm = jnp.maximum(norm, cs)
+    frac, expo = jnp.frexp(jnp.maximum(norm / _THETA3, 1e-300))
+    expo = jnp.where(frac == 0.5, expo - 1, expo)
+    expo = jnp.clip(expo, 0, _STATIC_SQUARINGS)
+    s = jnp.exp2(-expo).astype(A[0][0].dtype)
+    As = [[A[i][j] * s for j in range(m)] for i in range(m)]
+    A2 = pl_matmul(As, As)
+    A4 = pl_matmul(A2, A2)
+    A6 = pl_matmul(A2, A4)
+    V = [[_C[7] * A6[i][j] + _C[5] * A4[i][j] + _C[3] * A2[i][j]
+          + (_C[1] if i == j else 0.0) for j in range(m)]
+         for i in range(m)]
+    U = pl_matmul(As, V)
+    V = [[_C[6] * A6[i][j] + _C[4] * A4[i][j] + _C[2] * A2[i][j]
+          + (_C[0] if i == j else 0.0) for j in range(m)]
+         for i in range(m)]
+    W = [[V[i][j] - U[i][j] for j in range(m)] for i in range(m)]
+    R = pl_solve_mat(W, [[2.0 * U[i][j] for j in range(m)]
+                         for i in range(m)])
+    R = [[R[i][j] + (1.0 if i == j else 0.0) for j in range(m)]
+         for i in range(m)]
+
+    # static-trip fori_loop: keeps the HLO one squaring body instead of
+    # 13 unrolled m^3 matmuls (compile-time control; the trip count is
+    # compile-time constant so there is no dynamic-dispatch overhead)
+    def _sq(it, Rt):
+        R_ = [list(row) for row in Rt]
+        RR = pl_matmul(R_, R_)
+        keep = it < expo
+        return tuple(tuple(jnp.where(keep, RR[i][j], R_[i][j])
+                           for j in range(m)) for i in range(m))
+
+    R = jax.lax.fori_loop(0, _STATIC_SQUARINGS, _sq,
+                          tuple(tuple(row) for row in R),
+                          unroll=False)
+    return [list(row) for row in R]
 
 
 def fast_expm_exchange_2(a, b):

@@ -117,7 +117,8 @@ def _prep(config: Config, cloud_fraction, fractional_std, overlap_param,
     reg_fracs, od_scaling = calc_region_properties(
         cloud_fraction, fractional_std,
         config.cloud_pdf_shape == PdfShape.GAMMA,
-        config.cloud_fraction_threshold)
+        config.cloud_fraction_threshold,
+        n_regions=config.nregions)
     u_mat, v_mat, cloud_cover = calc_overlap_matrices(
         reg_fracs, overlap_param, config.cloud_inhom_decorr_scaling,
         config.cloud_fraction_threshold)
@@ -192,12 +193,58 @@ def _use_expm_mask(config: Config, od_gas, active_3d):
     return prefix & layer_on[..., None]
 
 
+def _use_plane_layer_mats() -> bool:
+    """Opt-in (ECRAD_TPU_SPARTACUS_PLANES=1): plane-form layer-matrix
+    algebra on accelerators.  Round-4 status: it cuts the device RUN
+    time of the layer-matrix phase ~3.4x (the (..,3,3)/(..,6,6) arrays'
+    minor-dim tile padding is what makes the array form run ~200x above
+    its memory roofline — see matrix.py plane-algebra notes and the
+    BASELINE.md SPARTACUS section), but the unrolled plane HLO blows
+    XLA compile time to minutes-per-solver, so it is not yet the
+    default.  Round-5 direction: fori-loop the Pade powers the way the
+    squaring chain already is, shrinking the body enough to flip the
+    default."""
+    import os
+    return os.environ.get("ECRAD_TPU_SPARTACUS_PLANES", "0") \
+        not in ("", "0")
+
+
+def _map_levels(fn, xs, nlev, chunk=4):
+    """lax.map over CHUNKS of levels instead of single levels.
+
+    The per-level matrix builder (expm + LU solves) is dominated by
+    sequential-dispatch overhead when run 137 times back to back; with
+    16 levels vmapped per map step the expensive ops batch 16x and only
+    ~9 sequential rounds remain, while the (chunk, ncol, ng, 6, 6)
+    temporaries stay bounded (vs batching all levels at once)."""
+    nchunk = -(-nlev // chunk)
+    pad = nchunk * chunk - nlev
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+        return x.reshape((nchunk, chunk) + x.shape[1:])
+
+    xs = jax.tree_util.tree_map(prep, xs)
+    # fn bodies are written for arbitrary leading batch dims (plane
+    # form), so the chunk axis rides along as a plain batch dim
+    out = jax.lax.map(fn, xs)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((nchunk * chunk,) + x.shape[2:])[:nlev], out)
+
+
 def _zero_clear(mats, clear):
     """Zero all but the [0,0] entry of per-layer matrices in clear layers
-    (radiation_spartacus_sw.F90:407-420 leaves only the clear-sky region)."""
-    keep = jnp.zeros((NREG, NREG), mats[0].dtype).at[0, 0].set(1.0)
+    (radiation_spartacus_sw.F90:407-420 leaves only the clear-sky region).
+
+    Uses a select, not a 0/1 multiply: the masked entries can be NaN
+    (degenerate expm/solve on all-zero cloudy regions) and NaN*0 = NaN
+    would leak into consumers that reduce over all entries (the LW
+    derivative sweep) even though the flux sweeps never read them."""
+    keep = jnp.zeros((NREG, NREG), bool).at[0, 0].set(True)
     m = clear[:, None, None, None]
-    return [jnp.where(m, A * keep, A) for A in mats]
+    return [jnp.where(m & ~keep, jnp.zeros((), A.dtype), A)
+            for A in mats]
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +299,107 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
     mu0b = mu0[:, None, None]
     eye3 = jnp.eye(NREG, dtype=dtype)
 
-    def layer_mats(xs):
+    def layer_mats_planes(xs):
+        """Plane-form SW layer matrices (see the LW twin and matrix.py
+        plane-algebra rationale); handles any leading batch dims."""
+        od3l, ssa3l, g3l, trd, trdir, uem, clr = xs
+        from ecrad_tpu.solvers.matrix import (pl_expm, pl_matmul,
+                                              pl_solve_mat, planes_to)
+        mu0p = mu0[:, None]                       # (ncol, 1)
+        inv_mu0p = one_over_mu0[:, None]
+        odr = [od3l[..., r] for r in range(NREG)]
+        ssar = [ssa3l[..., r] for r in range(NREG)]
+        gr = [g3l[..., r] for r in range(NREG)]
+        zero = jnp.zeros_like(odr[0])
+        r_p, t_p, rd_p, tdd_p, tdir_p = [], [], [], [], []
+        g1r, g2r, g3r = [], [], []
+        for r in range(NREG):
+            g1, g2, g3_ = two_stream.sw_gammas(mu0p, ssar[r], gr[r])
+            g1r.append(g1)
+            g2r.append(g2)
+            g3r.append(g3_)
+            rr, tt, rd, tdd, tdir = two_stream.sw_ref_trans(
+                mu0p, odr[r], ssar[r], gr[r])
+            r_p.append(rr)
+            t_p.append(tt)
+            rd_p.append(rd)
+            tdd_p.append(tdd)
+            tdir_p.append(tdir)
+
+        def diagm(v):
+            return [[v[i] if i == j else zero for j in range(NREG)]
+                    for i in range(NREG)]
+
+        Rp, Tp = diagm(r_p), diagm(t_p)
+        Rdp, Tddp, Tdirp = diagm(rd_p), diagm(tdd_p), diagm(tdir_p)
+        if any_expm:
+            # Gamma assembly (radiation_spartacus_sw.F90:327-380);
+            # transfer rates are per-column: broadcast (.., ncol, 1)
+            def exch(trm):
+                t = [[trm[..., i, j][..., None] for j in range(NREG)]
+                     for i in range(NREG)]
+                return [[(sum(t[i][k] for k in range(NREG))
+                          if i == j else -t[j][i])
+                         for j in range(NREG)] for i in range(NREG)]
+
+            Xd = exch(trd)
+            Xdir = exch(trdir)
+            n2, n3 = 2 * NREG, 3 * NREG
+            G = [[zero] * n3 for _ in range(n3)]
+            for i in range(NREG):
+                for j in range(NREG):
+                    Dij = (odr[i] * g1r[i] if i == j else zero) + Xd[i][j]
+                    G[i][j] = Dij
+                    G[NREG + i][NREG + j] = -Dij
+                    Sij = -Xdir[i][j] + (
+                        -odr[i] * inv_mu0p if i == j else zero)
+                    G[n2 + i][n2 + j] = Sij
+                G[i][NREG + i] = -odr[i] * g2r[i]
+                G[NREG + i][i] = odr[i] * g2r[i]
+                G[i][n2 + i] = -odr[i] * ssar[i] * g3r[i]
+                G[NREG + i][n2 + i] = odr[i] * ssar[i] * (1.0 - g3r[i])
+            E = pl_expm(G)
+            E11 = [row[0:NREG] for row in E[0:NREG]]
+            E12 = [row[NREG:n2] for row in E[0:NREG]]
+            E13 = [row[n2:] for row in E[0:NREG]]
+            E21 = [row[0:NREG] for row in E[NREG:n2]]
+            E22 = [row[NREG:n2] for row in E[NREG:n2]]
+            E23 = [row[n2:] for row in E[NREG:n2]]
+            tdir_e = [[jnp.clip(E[n2 + i][n2 + j], 0.0, 1.0)
+                       for j in range(NREG)] for i in range(NREG)]
+            sm12 = pl_solve_mat(E11, E12)
+            refl_e = [[jnp.clip(-sm12[i][j], 0.0, 1.0)
+                       for j in range(NREG)] for i in range(NREG)]
+            tr21 = pl_matmul(E21, refl_e)
+            trans_e = [[jnp.clip(tr21[i][j] + E22[i][j], 0.0, 1.0)
+                        for j in range(NREG)] for i in range(NREG)]
+            sm13 = pl_solve_mat(E11, E13)
+            rdir_e = [[jnp.clip(-sm13[i][j], 0.0, mu0p)
+                       for j in range(NREG)] for i in range(NREG)]
+            td21 = pl_matmul(E21, rdir_e)
+            tdd_e = [[jnp.clip(td21[i][j] + E23[i][j], 0.0, mu0p)
+                      for j in range(NREG)] for i in range(NREG)]
+            for i in range(NREG):
+                for j in range(NREG):
+                    Rp[i][j] = jnp.where(uem, refl_e[i][j], Rp[i][j])
+                    Tp[i][j] = jnp.where(uem, trans_e[i][j], Tp[i][j])
+                    Rdp[i][j] = jnp.where(uem, rdir_e[i][j], Rdp[i][j])
+                    Tddp[i][j] = jnp.where(uem, tdd_e[i][j], Tddp[i][j])
+                    Tdirp[i][j] = jnp.where(uem, tdir_e[i][j],
+                                            Tdirp[i][j])
+        # clear layers keep only [0,0] (select — see _zero_clear note)
+        clrb = clr[..., None]
+        z0 = jnp.zeros((), dtype)
+        for M in (Rp, Tp, Rdp, Tddp, Tdirp):
+            for i in range(NREG):
+                for j in range(NREG):
+                    if i == 0 and j == 0:
+                        continue
+                    M[i][j] = jnp.where(clrb, z0, M[i][j])
+        return (planes_to(Rp), planes_to(Tp), planes_to(Rdp),
+                planes_to(Tddp), planes_to(Tdirp))
+
+    def layer_mats_array(xs):
         od3l, ssa3l, g3l, trd, trdir, uem, clr = xs
         g1, g2, g3_ = two_stream.sw_gammas(mu0b, ssa3l, g3l)
         r_mw, t_mw, rd_mw, tdd_mw, tdir_mw = two_stream.sw_ref_trans(
@@ -297,10 +444,17 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
         R, T, Rd, Tdd, Tdir = _zero_clear([R, T, Rd, Tdd, Tdir], clr)
         return R, T, Rd, Tdd, Tdir
 
+    # plane form on accelerators (padding-free tiny-matrix algebra,
+    # see matrix.py); array form per level on CPU, where XLA compiles
+    # dots fast and the f64 goldens ran historically
     lev = lambda a: jnp.moveaxis(a, 1, 0)
-    Rs, Ts, Rds, Tdds, Tdirs = jax.lax.map(layer_mats, (
-        lev(od3), lev(ssa3), lev(g3), lev(tr_diff), lev(tr_dir),
-        lev(use_expm), lev(clear_layer)))
+    xs_mats = (lev(od3), lev(ssa3), lev(g3), lev(tr_diff), lev(tr_dir),
+               lev(use_expm), lev(clear_layer))
+    if _use_plane_layer_mats():
+        Rs, Ts, Rds, Tdds, Tdirs = _map_levels(layer_mats_planes,
+                                               xs_mats, nlev)
+    else:
+        Rs, Ts, Rds, Tdds, Tdirs = jax.lax.map(layer_mats_array, xs_mats)
 
     # clear-sky scalar layer properties
     r_cl, t_cl, rd_cl, tdd_cl, tdir_cl = two_stream.sw_ref_trans(
@@ -635,7 +789,111 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
     pl_bot = planck_hl[:, 1:]
     eye3 = jnp.eye(NREG, dtype=dtype)
 
-    def layer_mats(xs):
+    def layer_mats_planes(xs):
+        """Plane-form layer matrices (see matrix.py plane algebra
+        rationale): every quantity is a (batch..., ncol, ng) plane, so
+        the 3x3/6x6 algebra never touches padded minor-dim tiles.
+        Works for any leading batch dims (called on level chunks)."""
+        od3l, ssa3l, g3l, trl, sidel, rf, clr, plt, plb, uem = xs
+        from ecrad_tpu.solvers.matrix import (pl_expm, pl_matmul,
+                                              pl_matvec, pl_solve_mat,
+                                              pl_solve_vec)
+        odr = [od3l[..., r] for r in range(NREG)]
+        ssar = [ssa3l[..., r] for r in range(NREG)]
+        gr = [g3l[..., r] for r in range(NREG)]
+        rfr = [rf[..., r][..., None] for r in range(NREG)]
+        zero = jnp.zeros_like(odr[0])
+        r_p, t_p, su_p, sd_p, g1r, g2r = [], [], [], [], [], []
+        for r in range(NREG):
+            g1, g2 = two_stream.lw_gammas(ssar[r], gr[r])
+            g1r.append(g1)
+            g2r.append(g2)
+            rr, tt, su, sd = two_stream.lw_ref_trans(
+                odr[r], ssar[r], gr[r], rfr[r] * plt, rfr[r] * plb)
+            r_p.append(rr)
+            t_p.append(tt)
+            su_p.append(su)
+            sd_p.append(sd)
+        Rp = [[r_p[i] if i == j else zero for j in range(NREG)]
+              for i in range(NREG)]
+        Tp = [[t_p[i] if i == j else zero for j in range(NREG)]
+              for i in range(NREG)]
+        src_up = su_p
+        src_dn = sd_p
+        if any_expm:
+            # side-emissivity-scaled transfer rates
+            # (radiation_spartacus_lw.F90:311-338)
+            trs = [[trl[..., i, j][..., None] + zero
+                    for j in range(NREG)] for i in range(NREG)]
+            trs[1][0] = trs[1][0] * sidel
+            trs[2][0] = trs[2][0] * sidel
+            # exchange matrix: X[i][i] = sum_j tr[i][j]; X[i][j] = -tr[j][i]
+            D = [[(odr[i] * g1r[i] + sum(trs[i][k] for k in range(NREG))
+                   if i == j else -trs[j][i])
+                  for j in range(NREG)] for i in range(NREG)]
+            G2d = [odr[r] * g2r[r] for r in range(NREG)]
+            G = [[None] * (2 * NREG) for _ in range(2 * NREG)]
+            for i in range(NREG):
+                for j in range(NREG):
+                    G[i][j] = D[i][j]
+                    G[i][NREG + j] = -G2d[i] if i == j else zero
+                    G[NREG + i][j] = G2d[i] if i == j else zero
+                    G[NREG + i][NREG + j] = -D[i][j]
+            emis = [odr[r] * (1.0 - ssar[r]) * rfr[r] * LW_DIFFUSIVITY
+                    for r in range(NREG)]
+            dpl = plb - plt
+            pt = [-emis[r] * plt for r in range(NREG)] \
+                + [emis[r] * plt for r in range(NREG)]
+            pd = [-emis[r] * dpl for r in range(NREG)] \
+                + [emis[r] * dpl for r in range(NREG)]
+            sol_d = [-x for x in pl_solve_vec(G, pd)]
+            sol0 = pl_solve_vec(G, [sol_d[i] - pt[i]
+                                    for i in range(2 * NREG)])
+            E = pl_expm(G)
+            E11 = [row[0:NREG] for row in E[0:NREG]]
+            E12 = [row[NREG:] for row in E[0:NREG]]
+            E21 = [row[0:NREG] for row in E[NREG:]]
+            E22 = [row[NREG:] for row in E[NREG:]]
+            R_e = [[-x for x in row] for row in pl_solve_mat(E11, E12)]
+            T_e = pl_matmul(E21, R_e)
+            T_e = [[T_e[i][j] + E22[i][j] for j in range(NREG)]
+                   for i in range(NREG)]
+            v12 = pl_matvec(E12, sol0[NREG:])
+            tmp = [sol0[i] + sol_d[i] - v12[i] for i in range(NREG)]
+            xs_ = pl_solve_vec(E11, tmp)
+            su_e = [sol0[i] - xs_[i] for i in range(NREG)]
+            v21 = pl_matvec(E21, [su_e[i] - sol0[i]
+                                  for i in range(NREG)])
+            v22 = pl_matvec(E22, sol0[NREG:])
+            sd_e = [v21[i] + sol0[NREG + i] - v22[i] + sol_d[NREG + i]
+                    for i in range(NREG)]
+            for i in range(NREG):
+                for j in range(NREG):
+                    Rp[i][j] = jnp.where(uem, R_e[i][j], Rp[i][j])
+                    Tp[i][j] = jnp.where(uem, T_e[i][j], Tp[i][j])
+            src_up = [jnp.where(uem, su_e[r], src_up[r])
+                      for r in range(NREG)]
+            src_dn = [jnp.where(uem, sd_e[r], src_dn[r])
+                      for r in range(NREG)]
+        # clear layers: only the [0,0] / region-0 entries survive
+        # (select, never a 0/1 multiply — masked entries may be NaN
+        # from the degenerate expm branch)
+        clrb = clr[..., None]
+        z0 = jnp.zeros((), dtype)
+        for i in range(NREG):
+            for j in range(NREG):
+                if i == 0 and j == 0:
+                    continue
+                Rp[i][j] = jnp.where(clrb, z0, Rp[i][j])
+                Tp[i][j] = jnp.where(clrb, z0, Tp[i][j])
+        for r in range(1, NREG):
+            src_up[r] = jnp.where(clrb, z0, src_up[r])
+            src_dn[r] = jnp.where(clrb, z0, src_dn[r])
+        from ecrad_tpu.solvers.matrix import planes_to, vplanes_to
+        return (planes_to(Rp), planes_to(Tp), vplanes_to(src_up),
+                vplanes_to(src_dn))
+
+    def layer_mats_array(xs):
         od3l, ssa3l, g3l, trl, sidel, rf, clr, plt, plb, uem = xs
         g1, g2 = two_stream.lw_gammas(ssa3l, g3l)
         rfb = rf[:, None, :]
@@ -692,10 +950,13 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
         return R, T, src_up, src_dn
 
     lev = lambda a: jnp.moveaxis(a, 1, 0)
-    Rs, Ts, SUs, SDs = jax.lax.map(layer_mats, (
-        lev(od3), lev(ssa3), lev(g3), lev(tr), lev(side_emiss),
-        lev(reg_fracs), lev(clear_layer), lev(pl_top), lev(pl_bot),
-        lev(use_expm)))
+    xs_mats = (lev(od3), lev(ssa3), lev(g3), lev(tr), lev(side_emiss),
+               lev(reg_fracs), lev(clear_layer), lev(pl_top),
+               lev(pl_bot), lev(use_expm))
+    if _use_plane_layer_mats():
+        Rs, Ts, SUs, SDs = _map_levels(layer_mats_planes, xs_mats, nlev)
+    else:
+        Rs, Ts, SUs, SDs = jax.lax.map(layer_mats_array, xs_mats)
 
     # clear-sky scalar layer properties
     r_cl, t_cl, su_cl, sd_cl = two_stream.lw_ref_trans(

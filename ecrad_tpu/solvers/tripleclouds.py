@@ -49,12 +49,29 @@ _INTERCEPT = MIN_LOWER_FRAC - FSD_AT_MIN_LOWER_FRAC * _GRAD
 
 
 def calc_region_properties(cloud_fraction, frac_std, do_gamma,
-                           frac_threshold=1.0e-20):
-    """radiation_regions.F90:35-202, nreg=3.
+                           frac_threshold=1.0e-20, n_regions=3):
+    """radiation_regions.F90:35-202.
 
-    Returns (reg_fracs (ncol,nlev,3), od_scaling (ncol,nlev,2))."""
+    Returns (reg_fracs (ncol,nlev,3), od_scaling (ncol,nlev,2)).
+
+    n_regions=2 (radiation_regions.F90:105-111): a single HOMOGENEOUS
+    cloudy region — expressed in the 3-region machinery as region 2 =
+    full cloud fraction with od_scaling 1 and region 3 empty, which is
+    exactly equivalent downstream (zero-fraction regions carry no flux
+    and are masked out of the overlap matrices)."""
     cf = cloud_fraction
     cloudy = cf >= frac_threshold
+    if n_regions == 2:
+        frac1 = jnp.where(cloudy, 1.0 - cf, 1.0)
+        frac2 = jnp.where(cloudy, cf, 0.0)
+        zero = jnp.zeros_like(cf)
+        one = jnp.ones_like(cf)
+        return (jnp.stack([frac1, frac2, zero], axis=-1),
+                jnp.stack([one, one], axis=-1))
+    if n_regions != 3:
+        raise NotImplementedError(
+            f"n_regions={n_regions} not supported (reference allows "
+            "2 or 3, radiation_regions.F90:105-202)")
     if do_gamma:
         frac2 = cf * jnp.clip(_INTERCEPT + frac_std * _GRAD,
                               MIN_LOWER_FRAC, MAX_LOWER_FRAC)
@@ -179,7 +196,8 @@ def solver_tripleclouds_sw(config: Config, od, ssa, g, od_cloud_b,
     reg_fracs, od_scaling = calc_region_properties(
         cloud_fraction, fractional_std,
         config.cloud_pdf_shape == PdfShape.GAMMA,
-        config.cloud_fraction_threshold)
+        config.cloud_fraction_threshold,
+        n_regions=config.nregions)
     u_mat, v_mat, cloud_cover = calc_overlap_matrices(
         reg_fracs, overlap_param, config.cloud_inhom_decorr_scaling,
         config.cloud_fraction_threshold)
@@ -363,7 +381,8 @@ def solver_tripleclouds_lw(config: Config, od, ssa, g, od_cloud_b,
     reg_fracs, od_scaling = calc_region_properties(
         cloud_fraction, fractional_std,
         config.cloud_pdf_shape == PdfShape.GAMMA,
-        config.cloud_fraction_threshold)
+        config.cloud_fraction_threshold,
+        n_regions=config.nregions)
     u_mat, v_mat, cloud_cover = calc_overlap_matrices(
         reg_fracs, overlap_param, config.cloud_inhom_decorr_scaling,
         config.cloud_fraction_threshold)
