@@ -148,26 +148,12 @@ def main():
     cols_per_sec = ncol / max(t_best - rtt, 1e-9)
     cols_per_sec_med = ncol / max(t_median - rtt, 1e-9)
 
-    # Device-path correctness every round (round-3 review item 8): run
-    # the two RUN_TPU_TESTS smokes (flagship f32 vs the dp reference at
-    # sp thresholds; SPARTACUS f32 vs the f64 self-regression) right
-    # here where the device is attached.  Status lands in the JSON.
-    smokes = "skipped"
-    if os.environ.get("BENCH_SKIP_SMOKES", "0") in ("", "0"):
-        import subprocess
-        env = dict(os.environ, RUN_TPU_TESTS="1")
-        try:
-            r = subprocess.run(
-                [sys.executable, "-m", "pytest",
-                 "tests/test_tpu_smoke.py", "-q", "--no-header"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                env=env, capture_output=True, text=True, timeout=780)
-            smokes = "pass" if r.returncode == 0 else "FAIL"
-            print(r.stdout[-1500:], file=sys.stderr)
-        except Exception as e:
-            smokes = f"error: {e}"
+    def emit(smokes):
+        result = dict(_result_base, tpu_smokes=smokes)
+        print(json.dumps(result))
+        return result
 
-    result = {
+    _result_base = {
         "metric": "columns_per_second_per_chip",
         "value": round(cols_per_sec, 1),
         "unit": "cols/s (RRTMG McICA SW+LW, 137 levels, f32)",
@@ -181,12 +167,35 @@ def main():
         "vs_1core_anchor": round(cols_per_sec / BASELINE_COLS_PER_SEC, 1),
         "median_cols_per_sec": round(cols_per_sec_med, 1),
         "compile_seconds": round(compile_t, 1),
-        "tpu_smokes": smokes,
     }
-    print(json.dumps(result))
     print(f"# ncol={ncol} t_best={t_best:.4f}s t_median={t_median:.4f}s "
           f"rtt={rtt:.4f}s compile={compile_t:.1f}s checksum={v:.6g} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    # Device-path correctness every round (round-3 review item 8): run
+    # the two RUN_TPU_TESTS smokes (flagship f32 vs the dp reference at
+    # sp thresholds; SPARTACUS f32 vs the f64 self-regression) right
+    # here where the device is attached.  The metric line is printed
+    # BEFORE the smokes as well, so a cold-compile smoke overrun can
+    # never cost the round its headline number; a second identical line
+    # with the final smoke status follows.
+    if os.environ.get("BENCH_SKIP_SMOKES", "0") not in ("", "0"):
+        emit("skipped")
+        return
+    emit("running")
+    import subprocess
+    env = dict(os.environ, RUN_TPU_TESTS="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             "tests/test_tpu_smoke.py", "-q", "--no-header"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env, capture_output=True, text=True, timeout=780)
+        smokes = "pass" if r.returncode == 0 else "FAIL"
+        print(r.stdout[-1500:], file=sys.stderr)
+    except Exception as e:
+        smokes = f"error: {e}"
+    emit(smokes)
 
 
 if __name__ == "__main__":
