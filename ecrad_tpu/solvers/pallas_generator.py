@@ -24,8 +24,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _col_block(ncolp):
-    return min(ncolp, 512)
+    return min(ncolp, 1024)
 
 
 # packed scalar row indices
@@ -106,6 +109,7 @@ def generator_scan(rc, ri, ri2, scalars, trigger, exp_exp):
         in_specs=[lev, lev, lev, lev_s, col],
         out_specs=lev,
         out_shape=jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt)],

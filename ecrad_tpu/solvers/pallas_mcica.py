@@ -46,8 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ecrad_tpu.solvers import two_stream
 
 
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _col_block(ncolp):
-    return min(ncolp, 512)
+    # cb=1024 halves the number of grid column-blocks; the sweeps' ref
+    # sets then need ~17-33 MB of scoped VMEM, above the 16 MB default
+    # limit, so every pallas_call passes _VMEM_LIMIT (v5e has 128 MB)
+    return min(ncolp, 1024)
 
 
 def band_expand_matrix(gcounts, dtype):
@@ -291,11 +297,12 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
 
     # P1: clear-sky downward
     dn_bb_c, fdn_surf_c = pl.pallas_call(
-        _lw_p1_kernel, grid=grid,
+                _lw_p1_kernel, grid=grid,
         in_specs=[lev, ptop, pbot],
         out_specs=(bb, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
     )(od, planck_hl, planck_hl)
@@ -304,7 +311,7 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
 
     # P2: clear up + total Möbius up (reverse level order)
     p2 = pl.pallas_call(
-        functools.partial(_lw_p2_kernel, gcounts), grid=grid,
+                functools.partial(_lw_p2_kernel, gcounts), grid=grid,
         in_specs=[rev, rev, rev_b, rev_b, rev_b, exp_spec, rev_m,
                   ptop_r, pbot_r, col, col, col],
         out_specs=(rev, rev, bb, col, col),
@@ -313,6 +320,7 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
@@ -323,13 +331,14 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
 
     # P3: total-sky downward
     dn_bb_t, up_bb_t, fdn_surf_t = pl.pallas_call(
-        functools.partial(_lw_p3_kernel, gcounts), grid=grid,
+                functools.partial(_lw_p3_kernel, gcounts), grid=grid,
         in_specs=[lev, lev, lev_b, lev_b, lev_b, exp_spec, lev_m,
                   ptop, pbot, lev, lev],
         out_specs=(bb, bb, col),
         out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
                         pltpu.VMEM((nlev, cb), dt)],
@@ -350,13 +359,14 @@ def lw_fused(od, odc_b, ssac_b, gc_b, od_scaling, mask, planck_hl,
         d0t = fup_surf_t / jnp.maximum(
             jnp.sum(fup_surf_t, axis=0, keepdims=True), eps)
         deriv_c, deriv_t = pl.pallas_call(
-            functools.partial(_lw_deriv_kernel, gcounts), grid=grid,
+                    functools.partial(_lw_deriv_kernel, gcounts), grid=grid,
             in_specs=[rev, rev, rev_b, rev_b, rev_b, exp_spec, rev_m,
                       ptop_r, pbot_r, col, col],
             out_specs=(bb, bb),
             out_shape=(jax.ShapeDtypeStruct((nlev, ncolp), dt),
                        jax.ShapeDtypeStruct((nlev, ncolp), dt)),
-            scratch_shapes=[pltpu.VMEM((ng, cb), dt),
+            compiler_params=_VMEM_LIMIT,
+        scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                             pltpu.VMEM((ng, cb), dt),
                             pltpu.VMEM((nlev, cb), dt),
                             pltpu.VMEM((nlev, cb), dt)],
@@ -554,7 +564,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
     expand = jnp.asarray(band_expand_matrix(gcounts, dt))
 
     s1 = pl.pallas_call(
-        functools.partial(_sw_s1_kernel, gcounts, delta_gases),
+                functools.partial(_sw_s1_kernel, gcounts, delta_gases),
         grid=grid,
         in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, exp_spec,
                   lev_m, mu0_s, col],
@@ -565,6 +575,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
@@ -577,7 +588,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
     src0t = alb_dir_mu0 * fdir_surf_t
 
     s2 = pl.pallas_call(
-        functools.partial(_sw_s2_kernel, gcounts, delta_gases),
+                functools.partial(_sw_s2_kernel, gcounts, delta_gases),
         grid=grid,
         in_specs=[rev, rev, rev, rev, rev_b, rev_b, rev_b, exp_spec,
                   rev_m, mu0_s, rev, rev, col, col, col],
@@ -588,6 +599,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                    jax.ShapeDtypeStruct((nlev, ng, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
@@ -597,7 +609,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
     albb_c, srcb_c, albb_t, srcb_t, src_top_c, src_top_t = s2
 
     s3 = pl.pallas_call(
-        functools.partial(_sw_s3_kernel, gcounts, delta_gases),
+                functools.partial(_sw_s3_kernel, gcounts, delta_gases),
         grid=grid,
         in_specs=[lev, lev, lev, lev, lev_b, lev_b, lev_b, exp_spec,
                   lev_m, mu0_s, lev, lev, lev, lev, lev, lev],
@@ -608,6 +620,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling, mask, mu0,
                    jax.ShapeDtypeStruct((nlev, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt),
                    jax.ShapeDtypeStruct((ng, ncolp), dt)),
+        compiler_params=_VMEM_LIMIT,
         scratch_shapes=[pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((ng, cb), dt),
                         pltpu.VMEM((nlev, cb), dt),
