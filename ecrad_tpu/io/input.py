@@ -50,6 +50,9 @@ class DriverConfig:
     high_inv_effective_size: float = -1.0
     middle_inv_effective_size: float = -1.0
     low_inv_effective_size: float = -1.0
+    # Bulk alias: sets all three band overrides unless a specific one is
+    # also given (ecrad_driver_config.F90:338-352)
+    inv_effective_size: float = -1.0
     effective_size_scaling: float = -1.0
     # Scalar overrides
     fractional_std: float = -1.0
@@ -60,12 +63,29 @@ class DriverConfig:
     solar_irradiance_override: float = -1.0
     solar_cycle_multiplier_override: float = -2.0e9
     cloud_fraction_override: float = -1.0
+    # Cloud perturbation scalings (ecrad_driver_config.F90:165-166,
+    # applied at ecrad_driver_read_input.F90:205-229): multiply the
+    # read-in fields when >= 0 and != 1
+    q_liquid_scaling: float = -1.0
+    q_ice_scaling: float = -1.0
+    cloud_fraction_scaling: float = -1.0
+    # Ignore file-provided inv_inhom_effective_size so inhomogeneity
+    # scale == cloud scale (ecrad_driver_config.F90:109, applied at
+    # ecrad_driver_read_input.F90:364-371)
+    do_ignore_inhom_effective_size: bool = False
     # Shortwave spectral diagnostics (ecrad_driver_config.F90:72-82)
     sw_diag_wavelength_bound: tuple = ()
     sw_diag_file_name: str = "sw_diagnostics.nc"
     # Per-gas scale factors (driver_config "<gas>_scaling")
     gas_scaling: Optional[dict] = None
     vmr_suffix_str: str = "_vmr"
+
+    def __post_init__(self):
+        if self.inv_effective_size >= 0.0:
+            for band in ("low", "middle", "high"):
+                name = f"{band}_inv_effective_size"
+                if getattr(self, name) < 0.0:
+                    setattr(self, name, self.inv_effective_size)
 
     @classmethod
     def from_namelist(cls, path: str) -> "DriverConfig":
@@ -279,6 +299,18 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
                            f.get("re_ice", dtype)], axis=-1) \
                 if f.exists("re_liquid") else np.full((ncol, nlev, 2), 1e-5)
 
+        # Cloud perturbation scalings (ecrad_driver_read_input.F90:205-229):
+        # hydrometeor type 0 is liquid, 1 is ice
+        if dc.q_liquid_scaling >= 0.0 and dc.q_liquid_scaling != 1.0:
+            q = q.copy()
+            q[:, :, 0] *= dc.q_liquid_scaling
+        if dc.q_ice_scaling >= 0.0 and dc.q_ice_scaling != 1.0:
+            q = q.copy()
+            q[:, :, 1] *= dc.q_ice_scaling
+        if dc.cloud_fraction_scaling >= 0.0 \
+                and dc.cloud_fraction_scaling != 1.0:
+            cloud_fraction = cloud_fraction * dc.cloud_fraction_scaling
+
         if dc.fractional_std >= 0.0:
             fractional_std = np.full((ncol, nlev), dc.fractional_std)
         elif f.exists("fractional_std"):
@@ -333,7 +365,8 @@ def read_input(path: str, driver_config: Optional[DriverConfig] = None,
         elif f.exists("inv_cloud_effective_size"):
             scalable = True
             inv_cloud_size = f.get("inv_cloud_effective_size", dtype)
-            if f.exists("inv_inhom_effective_size"):
+            if f.exists("inv_inhom_effective_size") \
+                    and not dc.do_ignore_inhom_effective_size:
                 inv_inhom_size = f.get("inv_inhom_effective_size", dtype)
         elif f.exists("inv_cloud_effective_separation"):
             scalable = True
