@@ -6,24 +6,36 @@ radiation_lw_derivatives.F90:138-193 (calc_lw_derivatives_matrix).
 
 TPU formulation: the reference's per-column/per-layer/per-g triple loop
 with data-dependent ``ng3D`` cutoffs becomes dense batched compute over
-(ncol, ng) with masks.  Per-layer reflectance/transmittance matrices
-(including the 9x9 / 6x6 matrix exponentials) are computed by a
-``lax.map`` over the level axis, keeping peak memory at one level of expm
-intermediates; the upward albedo accumulation and downward flux sweep are
-``lax.scan`` recurrences carrying (ncol, ng, nreg[, nreg]) states.  The
+(ncol, ng) with masks.  ALL small-matrix state — the per-layer
+reflectance/transmittance matrices (including the 6x6 / 9x9 matrix
+exponentials), the upward albedo accumulation, and the downward flux
+sweep — lives in PLANE FORM: a 3x3 matrix is a list-of-lists of
+(ncol, ng) planes, a region vector a list of planes (see
+solvers/matrix.py pl_* algebra).  Arrays shaped (..., 3, 3) put the tiny
+matrix dims on the TPU (sublane, lane) tile, padding each 3x3 to (8,128)
+— a ~100x physical blowup that made the round-4 array-form solver run
+~2000x above its HBM roofline.  Plane form keeps every op a fused
+full-width elementwise op; the m^3 unrolled FLOPs are trivial on the
+VPU.  For scan xs / ys, plane matrices travel stacked on a leading
+length-9 (or 3) axis: (..., 9, ncol, ng) with k = 3*i + j.
+
+Per-layer matrices are computed by a ``lax.map`` over level CHUNKS
+(vmapped inside, bounding the expm working set); the upward albedo
+accumulation and downward flux sweep are ``lax.scan`` recurrences.  The
 g-point ordering is assumed already reordered by increasing gas optical
 depth (radiation_ifs_rrtm.F90:51-67), so the reference's prefix rule
 ``od(g) <= max_gas_od_3d for g < ng3D`` becomes a per-g mask.
 
 Entrapment modes (Hogan et al. GMD 2019) are compile-time (config-static)
 branches; the per-column clear-layer special cases are runtime masks.
-Matrix convention: A[..., i, j] with i = destination region row, matching
+Matrix convention: plane [i][j] with i = destination region row, matching
 the Fortran A(g, j1, j2).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -31,8 +43,10 @@ import jax.numpy as jnp
 
 from ecrad_tpu.config import Config, Entrapment, PdfShape
 from ecrad_tpu.solvers import two_stream
-from ecrad_tpu.solvers.matrix import (expm, fast_expm_exchange_3,
-                                      mat_x_vec, solve_mat, solve_vec)
+from ecrad_tpu.solvers.matrix import (pl_expm, pl_expm_blockut,
+                                      pl_fast_expm_exchange_3,
+                                      pl_matmul, pl_matvec, pl_solve_mat,
+                                      pl_solve_vec)
 from ecrad_tpu.solvers.outputs import (LwFluxes, SwFluxes,
                                        lw_from_g_profiles,
                                        sw_from_g_profiles)
@@ -53,10 +67,10 @@ _EPS = float(np.finfo(np.float64).eps)
 
 
 def _highest_precision(fn):
-    """Trace the solver under full-precision matmuls: the 3x3..9x9
-    exponentials and solves are numerically delicate, and the TPU default
-    (bf16 inputs) turns near-singular systems into NaNs.  These matrices
-    are tiny, so the cost is negligible."""
+    """Trace the solver under full-precision matmuls: the exponentials
+    and solves are numerically delicate, and the TPU default (bf16
+    inputs) turns near-singular systems into NaNs.  These matrices are
+    tiny, so the cost is negligible."""
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         with jax.default_matmul_precision("highest"):
@@ -64,29 +78,70 @@ def _highest_precision(fn):
     return wrapped
 
 
-def _diag(v):
-    """(..., m) -> (..., m, m) diagonal matrices."""
-    return v[..., :, None] * jnp.eye(v.shape[-1], dtype=v.dtype)
+# ---------------------------------------------------------------------------
+# Plane-form plumbing: matrices as [[plane]] (NREG x NREG lists of
+# (ncol, ng) arrays), vectors as [plane]; stacked forms carry a leading
+# k = 3*i + j axis through scan xs/ys.
+
+def _punstack(A9):
+    """(9, ...) stacked -> [[plane]]."""
+    return [[A9[NREG * i + j] for j in range(NREG)] for i in range(NREG)]
 
 
-def _diag_part(A):
-    return jnp.diagonal(A, axis1=-2, axis2=-1)
+def _pstack(P, axis=0):
+    """[[plane]] (or [plane]) -> stacked array along ``axis``."""
+    flat = [x for row in P for x in row] if isinstance(P[0], list) \
+        else list(P)
+    return jnp.stack(flat, axis=axis)
 
 
-def _embed00(x, like):
-    """Scalar field -> matrix/vector with only the leading entry set."""
-    z = jnp.zeros(like.shape, like.dtype)
-    if like.ndim == x.ndim + 2:
-        return z.at[..., 0, 0].set(x)
-    return z.at[..., 0].set(x)
+def _pmat_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(NREG)] for i in range(NREG)]
 
 
-def _exchange(tr):
-    """Conservative-exchange matrix from transfer rates:
-    X[i,i] = sum_j tr[i,j]; X[i,j] = -tr[j,i]
-    (the Gamma assembly pattern of radiation_spartacus_sw.F90:343-374)."""
-    rowsum = jnp.sum(tr, axis=-1)
-    return _diag(rowsum) - jnp.swapaxes(tr, -1, -2)
+def _pvec_add(a, b):
+    return [a[i] + b[i] for i in range(NREG)]
+
+
+def _pmat_where(cond, A, B):
+    return [[jnp.where(cond, A[i][j], B[i][j]) for j in range(NREG)]
+            for i in range(NREG)]
+
+
+def _pvec_where(cond, a, b):
+    return [jnp.where(cond, a[i], b[i]) for i in range(NREG)]
+
+
+def _pmat_embed00(x, like):
+    """Plane matrix with only the [0][0] entry set to x (zeros like the
+    planes of ``like`` elsewhere)."""
+    z = jnp.zeros_like(like[0][0])
+    return [[jnp.broadcast_to(x, z.shape) if (i == 0 and j == 0) else z
+             for j in range(NREG)] for i in range(NREG)]
+
+
+def _pvec_embed0(x, like):
+    z = jnp.zeros_like(like[0])
+    return [jnp.broadcast_to(x, z.shape) if i == 0 else z
+            for i in range(NREG)]
+
+
+def _peye_minus(A):
+    """I - A in plane form."""
+    return [[(1.0 if i == j else 0.0) - A[i][j] for j in range(NREG)]
+            for i in range(NREG)]
+
+
+def _lev9(M4):
+    """(ncol, L, m, m) small-matrix profile -> (L, m*m, ncol) stacked
+    planes for scan xs (k = m*i + j)."""
+    ncol, L, m, _ = M4.shape
+    return jnp.transpose(M4.reshape(ncol, L, m * m), (1, 2, 0))
+
+
+def _lev3(V3):
+    """(ncol, L, 3) region-vector profile -> (L, 3, ncol)."""
+    return jnp.transpose(V3, (1, 2, 0))
 
 
 def _transfer_rates(reg_fracs, edge_length, dz, tan_angle, max_rate):
@@ -193,30 +248,25 @@ def _use_expm_mask(config: Config, od_gas, active_3d):
     return prefix & layer_on[..., None]
 
 
-def _use_plane_layer_mats() -> bool:
-    """Opt-in (ECRAD_TPU_SPARTACUS_PLANES=1): plane-form layer-matrix
-    algebra on accelerators.  Round-4 status: it cuts the device RUN
-    time of the layer-matrix phase ~3.4x (the (..,3,3)/(..,6,6) arrays'
-    minor-dim tile padding is what makes the array form run ~200x above
-    its memory roofline — see matrix.py plane-algebra notes and the
-    BASELINE.md SPARTACUS section), but the unrolled plane HLO blows
-    XLA compile time to minutes-per-solver, so it is not yet the
-    default.  Round-5 direction: fori-loop the Pade powers the way the
-    squaring chain already is, shrinking the body enough to flip the
-    default."""
-    import os
-    return os.environ.get("ECRAD_TPU_SPARTACUS_PLANES", "0") \
-        not in ("", "0")
+def _level_chunk() -> int:
+    """Levels vmapped per lax.map step of the layer-matrix builder.
+    Measured on TPU v5e (ncol=512, ng=112, SW 9x9 expm): chunk=1 is the
+    FASTEST (216 ms) and it only gets worse with batching — 2: 228 ms,
+    4: 378 ms, 8: 780 ms, 32: 1473 ms — because the ~80-plane expm
+    working set stays VMEM-resident at chunk=1 and spills to HBM as the
+    chunk grows.  Tunable via ECRAD_TPU_SPARTACUS_CHUNK."""
+    return int(os.environ.get("ECRAD_TPU_SPARTACUS_CHUNK", "1"))
 
 
-def _map_levels(fn, xs, nlev, chunk=4):
+def _map_levels(fn, xs, nlev, chunk=None):
     """lax.map over CHUNKS of levels instead of single levels.
 
     The per-level matrix builder (expm + LU solves) is dominated by
     sequential-dispatch overhead when run 137 times back to back; with
-    16 levels vmapped per map step the expensive ops batch 16x and only
-    ~9 sequential rounds remain, while the (chunk, ncol, ng, 6, 6)
+    ``chunk`` levels vmapped per map step the expensive ops batch and
+    only ~nlev/chunk sequential rounds remain, while the plane
     temporaries stay bounded (vs batching all levels at once)."""
+    chunk = chunk or _level_chunk()
     nchunk = -(-nlev // chunk)
     pad = nchunk * chunk - nlev
 
@@ -231,20 +281,6 @@ def _map_levels(fn, xs, nlev, chunk=4):
     out = jax.lax.map(fn, xs)
     return jax.tree_util.tree_map(
         lambda x: x.reshape((nchunk * chunk,) + x.shape[2:])[:nlev], out)
-
-
-def _zero_clear(mats, clear):
-    """Zero all but the [0,0] entry of per-layer matrices in clear layers
-    (radiation_spartacus_sw.F90:407-420 leaves only the clear-sky region).
-
-    Uses a select, not a 0/1 multiply: the masked entries can be NaN
-    (degenerate expm/solve on all-zero cloudy regions) and NaN*0 = NaN
-    would leak into consumers that reduce over all entries (the LW
-    derivative sweep) even though the flux sweeps never read them."""
-    keep = jnp.zeros((NREG, NREG), bool).at[0, 0].set(True)
-    m = clear[:, None, None, None]
-    return [jnp.where(m & ~keep, jnp.zeros((), A.dtype), A)
-            for A in mats]
 
 
 # ---------------------------------------------------------------------------
@@ -296,15 +332,13 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
                              tan_sza[:, None],
                              config.max_3d_transfer_rate)
 
-    mu0b = mu0[:, None, None]
-    eye3 = jnp.eye(NREG, dtype=dtype)
-
-    def layer_mats_planes(xs):
-        """Plane-form SW layer matrices (see the LW twin and matrix.py
-        plane-algebra rationale); handles any leading batch dims."""
+    def layer_mats(xs):
+        """Plane-form SW layer matrices for a chunk of levels: every
+        quantity is a (chunk, ncol, ng) plane, so the 3x3..9x9 algebra
+        never touches padded minor-dim tiles (see matrix.py plane
+        algebra).  Returns the five R/T matrices stacked (chunk, 9,
+        ncol, ng)."""
         od3l, ssa3l, g3l, trd, trdir, uem, clr = xs
-        from ecrad_tpu.solvers.matrix import (pl_expm, pl_matmul,
-                                              pl_solve_mat, planes_to)
         mu0p = mu0[:, None]                       # (ncol, 1)
         inv_mu0p = one_over_mu0[:, None]
         odr = [od3l[..., r] for r in range(NREG)]
@@ -333,128 +367,109 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
         Rp, Tp = diagm(r_p), diagm(t_p)
         Rdp, Tddp, Tdirp = diagm(rd_p), diagm(tdd_p), diagm(tdir_p)
         if any_expm:
-            # Gamma assembly (radiation_spartacus_sw.F90:327-380);
-            # transfer rates are per-column: broadcast (.., ncol, 1)
-            def exch(trm):
-                t = [[trm[..., i, j][..., None] for j in range(NREG)]
-                     for i in range(NREG)]
-                return [[(sum(t[i][k] for k in range(NREG))
-                          if i == j else -t[j][i])
-                         for j in range(NREG)] for i in range(NREG)]
+            def refine(mats):
+                """Replace uem-masked entries by the expm-derived layer
+                matrices.  Runs under a per-level lax.cond so levels
+                with no 3D-active element (clear layers, or all g past
+                the ng3D cutoff) skip the exponential entirely."""
+                Rp, Tp, Rdp, Tddp, Tdirp = [
+                    [list(row) for row in Mx] for Mx in mats]
+                # Gamma assembly (radiation_spartacus_sw.F90:327-380);
+                # transfer rates are per-column: broadcast (.., ncol, 1)
+                def exch(trm):
+                    t = [[trm[..., i, j][..., None] for j in range(NREG)]
+                         for i in range(NREG)]
+                    return [[(sum(t[i][k] for k in range(NREG))
+                              if i == j else -t[j][i])
+                             for j in range(NREG)] for i in range(NREG)]
 
-            Xd = exch(trd)
-            Xdir = exch(trdir)
-            n2, n3 = 2 * NREG, 3 * NREG
-            G = [[zero] * n3 for _ in range(n3)]
-            for i in range(NREG):
-                for j in range(NREG):
-                    Dij = (odr[i] * g1r[i] if i == j else zero) + Xd[i][j]
-                    G[i][j] = Dij
-                    G[NREG + i][NREG + j] = -Dij
-                    Sij = -Xdir[i][j] + (
-                        -odr[i] * inv_mu0p if i == j else zero)
-                    G[n2 + i][n2 + j] = Sij
-                G[i][NREG + i] = -odr[i] * g2r[i]
-                G[NREG + i][i] = odr[i] * g2r[i]
-                G[i][n2 + i] = -odr[i] * ssar[i] * g3r[i]
-                G[NREG + i][n2 + i] = odr[i] * ssar[i] * (1.0 - g3r[i])
-            E = pl_expm(G)
-            E11 = [row[0:NREG] for row in E[0:NREG]]
-            E12 = [row[NREG:n2] for row in E[0:NREG]]
-            E13 = [row[n2:] for row in E[0:NREG]]
-            E21 = [row[0:NREG] for row in E[NREG:n2]]
-            E22 = [row[NREG:n2] for row in E[NREG:n2]]
-            E23 = [row[n2:] for row in E[NREG:n2]]
-            tdir_e = [[jnp.clip(E[n2 + i][n2 + j], 0.0, 1.0)
-                       for j in range(NREG)] for i in range(NREG)]
-            sm12 = pl_solve_mat(E11, E12)
-            refl_e = [[jnp.clip(-sm12[i][j], 0.0, 1.0)
-                       for j in range(NREG)] for i in range(NREG)]
-            tr21 = pl_matmul(E21, refl_e)
-            trans_e = [[jnp.clip(tr21[i][j] + E22[i][j], 0.0, 1.0)
-                        for j in range(NREG)] for i in range(NREG)]
-            sm13 = pl_solve_mat(E11, E13)
-            rdir_e = [[jnp.clip(-sm13[i][j], 0.0, mu0p)
-                       for j in range(NREG)] for i in range(NREG)]
-            td21 = pl_matmul(E21, rdir_e)
-            tdd_e = [[jnp.clip(td21[i][j] + E23[i][j], 0.0, mu0p)
-                      for j in range(NREG)] for i in range(NREG)]
-            for i in range(NREG):
-                for j in range(NREG):
-                    Rp[i][j] = jnp.where(uem, refl_e[i][j], Rp[i][j])
-                    Tp[i][j] = jnp.where(uem, trans_e[i][j], Tp[i][j])
-                    Rdp[i][j] = jnp.where(uem, rdir_e[i][j], Rdp[i][j])
-                    Tddp[i][j] = jnp.where(uem, tdd_e[i][j], Tddp[i][j])
-                    Tdirp[i][j] = jnp.where(uem, tdir_e[i][j],
-                                            Tdirp[i][j])
-        # clear layers keep only [0,0] (select — see _zero_clear note)
+                Xd = exch(trd)
+                Xdir = exch(trdir)
+                n2 = 2 * NREG
+                # diffuse 6x6 block, direct 3x3 block, 6x3 coupling —
+                # the lower-left 3x6 is structurally zero, so the
+                # exponential runs blockwise (matrix.pl_expm_blockut)
+                A11 = [[zero] * n2 for _ in range(n2)]
+                A13 = [[zero] * NREG for _ in range(n2)]
+                A33 = [[zero] * NREG for _ in range(NREG)]
+                for i in range(NREG):
+                    for j in range(NREG):
+                        Dij = (odr[i] * g1r[i] if i == j else zero) \
+                            + Xd[i][j]
+                        A11[i][j] = Dij
+                        A11[NREG + i][NREG + j] = -Dij
+                        A33[i][j] = -Xdir[i][j] + (
+                            -odr[i] * inv_mu0p if i == j else zero)
+                    A11[i][NREG + i] = -odr[i] * g2r[i]
+                    A11[NREG + i][i] = odr[i] * g2r[i]
+                    A13[i][i] = -odr[i] * ssar[i] * g3r[i]
+                    A13[NREG + i][i] = odr[i] * ssar[i] * (1.0 - g3r[i])
+                Eb11, Eb13, Eb33 = pl_expm_blockut(A11, A13, A33)
+                E11 = [row[0:NREG] for row in Eb11[0:NREG]]
+                E12 = [row[NREG:n2] for row in Eb11[0:NREG]]
+                E13 = [row[:] for row in Eb13[0:NREG]]
+                E21 = [row[0:NREG] for row in Eb11[NREG:n2]]
+                E22 = [row[NREG:n2] for row in Eb11[NREG:n2]]
+                E23 = [row[:] for row in Eb13[NREG:n2]]
+                tdir_e = [[jnp.clip(Eb33[i][j], 0.0, 1.0)
+                           for j in range(NREG)] for i in range(NREG)]
+                sm12 = pl_solve_mat(E11, E12)
+                refl_e = [[jnp.clip(-sm12[i][j], 0.0, 1.0)
+                           for j in range(NREG)] for i in range(NREG)]
+                tr21 = pl_matmul(E21, refl_e)
+                trans_e = [[jnp.clip(tr21[i][j] + E22[i][j], 0.0, 1.0)
+                            for j in range(NREG)] for i in range(NREG)]
+                sm13 = pl_solve_mat(E11, E13)
+                rdir_e = [[jnp.clip(-sm13[i][j], 0.0, mu0p)
+                           for j in range(NREG)] for i in range(NREG)]
+                td21 = pl_matmul(E21, rdir_e)
+                tdd_e = [[jnp.clip(td21[i][j] + E23[i][j], 0.0, mu0p)
+                          for j in range(NREG)] for i in range(NREG)]
+                for i in range(NREG):
+                    for j in range(NREG):
+                        Rp[i][j] = jnp.where(uem, refl_e[i][j], Rp[i][j])
+                        Tp[i][j] = jnp.where(uem, trans_e[i][j],
+                                             Tp[i][j])
+                        Rdp[i][j] = jnp.where(uem, rdir_e[i][j],
+                                              Rdp[i][j])
+                        Tddp[i][j] = jnp.where(uem, tdd_e[i][j],
+                                               Tddp[i][j])
+                        Tdirp[i][j] = jnp.where(uem, tdir_e[i][j],
+                                                Tdirp[i][j])
+                tup = lambda Mx: tuple(tuple(row) for row in Mx)
+                return tuple(tup(Mx) for Mx in (Rp, Tp, Rdp, Tddp,
+                                                Tdirp))
+
+            shp = odr[0].shape
+            tup5 = tuple(
+                tuple(tuple(jnp.broadcast_to(x, shp) for x in row)
+                      for row in Mx)
+                for Mx in (Rp, Tp, Rdp, Tddp, Tdirp))
+            mats = jax.lax.cond(jnp.any(uem), refine, lambda m: m, tup5)
+            Rp, Tp, Rdp, Tddp, Tdirp = [
+                [list(row) for row in Mx] for Mx in mats]
+        # clear layers keep only [0][0] (select, never a 0/1 multiply:
+        # the masked entries can be NaN from the degenerate expm/solve
+        # on all-zero cloudy regions and NaN*0 = NaN would leak into
+        # consumers that reduce over all entries)
         clrb = clr[..., None]
         z0 = jnp.zeros((), dtype)
-        for M in (Rp, Tp, Rdp, Tddp, Tdirp):
+        for Mx in (Rp, Tp, Rdp, Tddp, Tdirp):
             for i in range(NREG):
                 for j in range(NREG):
                     if i == 0 and j == 0:
                         continue
-                    M[i][j] = jnp.where(clrb, z0, M[i][j])
-        return (planes_to(Rp), planes_to(Tp), planes_to(Rdp),
-                planes_to(Tddp), planes_to(Tdirp))
+                    Mx[i][j] = jnp.where(clrb, z0, Mx[i][j])
+        shp = odr[0].shape
+        stk = lambda Pm: jnp.stack(
+            [jnp.broadcast_to(x, shp) for row in Pm for x in row], axis=1)
+        return stk(Rp), stk(Tp), stk(Rdp), stk(Tddp), stk(Tdirp)
 
-    def layer_mats_array(xs):
-        od3l, ssa3l, g3l, trd, trdir, uem, clr = xs
-        g1, g2, g3_ = two_stream.sw_gammas(mu0b, ssa3l, g3l)
-        r_mw, t_mw, rd_mw, tdd_mw, tdir_mw = two_stream.sw_ref_trans(
-            mu0b, od3l, ssa3l, g3l)
-        R = _diag(r_mw)
-        T = _diag(t_mw)
-        Rd = _diag(rd_mw)
-        Tdd = _diag(tdd_mw)
-        Tdir = _diag(tdir_mw)
-        if any_expm:
-            # Gamma assembly (radiation_spartacus_sw.F90:327-380)
-            D = _diag(od3l * g1) + _exchange(trd)[:, None]
-            G2 = _diag(od3l * g2)
-            C1 = _diag(-od3l * ssa3l * g3_)
-            C2 = _diag(od3l * ssa3l * (1.0 - g3_))
-            S = _diag(-od3l * one_over_mu0[:, None, None]) \
-                - _exchange(trdir)[:, None]
-            Z = jnp.zeros_like(D)
-            G = jnp.concatenate([
-                jnp.concatenate([D, -G2, C1], -1),
-                jnp.concatenate([G2, -D, C2], -1),
-                jnp.concatenate([Z, Z, S], -1)], -2)
-            E = expm(G)
-            E11 = E[..., 0:3, 0:3]
-            E12 = E[..., 0:3, 3:6]
-            E13 = E[..., 0:3, 6:9]
-            E21 = E[..., 3:6, 0:3]
-            E22 = E[..., 3:6, 3:6]
-            E23 = E[..., 3:6, 6:9]
-            mu0m = mu0[:, None, None, None]
-            tdir_e = jnp.clip(E[..., 6:9, 6:9], 0.0, 1.0)
-            refl_e = jnp.clip(-solve_mat(E11, E12), 0.0, 1.0)
-            trans_e = jnp.clip(E21 @ refl_e + E22, 0.0, 1.0)
-            rdir_e = jnp.clip(-solve_mat(E11, E13), 0.0, mu0m)
-            tdd_e = jnp.clip(E21 @ rdir_e + E23, 0.0, mu0m)
-            m = uem[..., None, None]
-            R = jnp.where(m, refl_e, R)
-            T = jnp.where(m, trans_e, T)
-            Rd = jnp.where(m, rdir_e, Rd)
-            Tdd = jnp.where(m, tdd_e, Tdd)
-            Tdir = jnp.where(m, tdir_e, Tdir)
-        R, T, Rd, Tdd, Tdir = _zero_clear([R, T, Rd, Tdd, Tdir], clr)
-        return R, T, Rd, Tdd, Tdir
-
-    # plane form on accelerators (padding-free tiny-matrix algebra,
-    # see matrix.py); array form per level on CPU, where XLA compiles
-    # dots fast and the f64 goldens ran historically
     lev = lambda a: jnp.moveaxis(a, 1, 0)
     xs_mats = (lev(od3), lev(ssa3), lev(g3), lev(tr_diff), lev(tr_dir),
                lev(use_expm), lev(clear_layer))
-    if _use_plane_layer_mats():
-        Rs, Ts, Rds, Tdds, Tdirs = _map_levels(layer_mats_planes,
-                                               xs_mats, nlev)
-    else:
-        Rs, Ts, Rds, Tdds, Tdirs = jax.lax.map(layer_mats_array, xs_mats)
+    # (nlev, 9, ncol, ng) each
+    Rs, Ts, Rds, Tdds, Tdirs = _map_levels(layer_mats, xs_mats, nlev)
 
     # clear-sky scalar layer properties
     r_cl, t_cl, rd_cl, tdd_cl, tdir_cl = two_stream.sw_ref_trans(
@@ -485,10 +500,21 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
 
     def up_step(carry, xs):
         alb, albd, alb_c, albd_c, xdif, xdir = carry
-        (R, T, Rd, Tdd, Tdir, rcl, tcl, rdcl, tddcl, tdircl, u, v,
-         clr, clr_above, migrate, rf, elp, rfp, invszp, opp, ntop,
+        (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl, u9, v9,
+         clr, clr_above, migrate, rf3, elp3, rfp3, invszp, opp, ntop,
          xld, xldir) = xs
-        out_albs = (alb, albd, alb_c, albd_c)
+        R, T = _punstack(R9), _punstack(T9)
+        Rd, Tdd, Tdir = (_punstack(Rd9), _punstack(Tdd9),
+                         _punstack(Tdir9))
+        alb = [list(row) for row in alb]
+        albd = [list(row) for row in albd]
+        xdif, xdir = list(xdif), list(xdir)
+        # u/v as (ncol, 1) planes for matrix ops; raw (ncol,) via u9/v9
+        u = [[u9[NREG * i + j][:, None] for j in range(NREG)]
+             for i in range(NREG)]
+        v = [[v9[NREG * i + j][:, None] for j in range(NREG)]
+             for i in range(NREG)]
+        out_albs = (_pstack(alb), _pstack(albd), alb_c, albd_c)
 
         # clear-sky scalar adding (radiation_spartacus_sw.F90:444-456)
         inv_d = 1.0 / (1.0 - alb_c * rcl)
@@ -496,90 +522,104 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
         albd_c_new = rdcl + (tdircl * albd_c + tddcl * alb_c) * tcl * inv_d
 
         # layer adding: full matrix (radiation_spartacus_sw.F90:474-494)
-        denom = eye3 - alb @ R
-        X = R + T @ solve_mat(denom, alb @ T)
-        Xd = Rd + T @ solve_mat(denom, albd @ Tdir + alb @ Tdd)
+        denom = _peye_minus(pl_matmul(alb, R))
+        X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
+                                                   pl_matmul(alb, T))))
+        srcm = _pmat_add(pl_matmul(albd, Tdir), pl_matmul(alb, Tdd))
+        Xd = _pmat_add(Rd, pl_matmul(T, pl_solve_mat(denom, srcm)))
         # clear-layer scalar version (L458-473), region (0,0) only
-        a00, ad00 = alb[..., 0, 0], albd[..., 0, 0]
-        R00, T00 = R[..., 0, 0], T[..., 0, 0]
+        a00, ad00 = alb[0][0], albd[0][0]
+        R00, T00 = R[0][0], T[0][0]
         inv_s = 1.0 / (1.0 - a00 * R00)
         s00 = R00 + T00 * T00 * a00 * inv_s
-        sd00 = Rd[..., 0, 0] + (Tdir[..., 0, 0] * ad00
-                                + Tdd[..., 0, 0] * a00) * T00 * inv_s
-        cm = clr[:, None, None, None]
-        X = jnp.where(cm, _embed00(s00, X), X)
-        Xd = jnp.where(cm, _embed00(sd00, Xd), Xd)
+        sd00 = Rd[0][0] + (Tdir[0][0] * ad00 + Tdd[0][0] * a00) \
+            * T00 * inv_s
+        cm = clr[:, None]
+        X = _pmat_where(cm, _pmat_embed00(s00, X), X)
+        Xd = _pmat_where(cm, _pmat_embed00(sd00, Xd), Xd)
 
         # --- step_migrations (radiation_spartacus_sw.F90:966-1046)
         if explicit:
-            cf = 1.0 - rf[..., 0]
-            Rdg, Tdg = _diag_part(R), _diag_part(T)
-            Rddg, Tddg, Tdirg = (_diag_part(Rd), _diag_part(Tdd),
-                                 _diag_part(Tdir))
-            Adg, Addg = _diag_part(alb), _diag_part(albd)
-            xldb = xld[:, None, None]
-            xldirb = xldir[:, None, None]
-            ms = Tdg / (1.0 - Rdg * Adg)
-            xe = (1.0 - Rdg * Adg) ** (-1.5)
-            top_alb_dir = jnp.maximum(
-                1.0e-8, Rddg + ms * (Tddg * Adg + Tdirg * Addg))
-            xdir_new = jnp.maximum(0.0, xldirb + (
-                (Tddg * Adg * xe + Tdirg * Addg * (xe - 1.0))
-                * (xdif + xldb)
-                + Tdirg * Addg * (xdir + xldirb)) * Tdg / top_alb_dir)
-            top_alb = jnp.maximum(1.0e-8, Rdg + ms * Tdg * Adg)
-            xdif_new = xldb + xe * Adg * Tdg * Tdg * (xdif + xldb) / top_alb
-            active_r = jnp.stack([cf < 1.0, cf > 0.0, cf > 0.0], -1)
-            xdir_new = jnp.where(active_r[:, None, :], xdir_new, 0.0)
-            xdif_new = jnp.where(active_r[:, None, :], xdif_new, 0.0)
-            mm = migrate[:, None, None]
-            xdif = jnp.where(mm, xdif_new, xdif)
-            xdir = jnp.where(mm, xdir_new, xdir)
+            cf = 1.0 - rf3[0]                     # (ncol,)
+            xldb = xld[:, None]
+            xldirb = xldir[:, None]
+            mm = migrate[:, None]
+            active_r = [cf < 1.0, cf > 0.0, cf > 0.0]
+            for r in range(NREG):
+                Rdg, Tdg = R[r][r], T[r][r]
+                Rddg, Tddg, Tdirg = Rd[r][r], Tdd[r][r], Tdir[r][r]
+                Adg, Addg = alb[r][r], albd[r][r]
+                ms = Tdg / (1.0 - Rdg * Adg)
+                xe = (1.0 - Rdg * Adg) ** (-1.5)
+                top_alb_dir = jnp.maximum(
+                    1.0e-8, Rddg + ms * (Tddg * Adg + Tdirg * Addg))
+                xdir_new = jnp.maximum(0.0, xldirb + (
+                    (Tddg * Adg * xe + Tdirg * Addg * (xe - 1.0))
+                    * (xdif[r] + xldb)
+                    + Tdirg * Addg * (xdir[r] + xldirb))
+                    * Tdg / top_alb_dir)
+                top_alb = jnp.maximum(1.0e-8, Rdg + ms * Tdg * Adg)
+                xdif_new = xldb + xe * Adg * Tdg * Tdg \
+                    * (xdif[r] + xldb) / top_alb
+                act = active_r[r][:, None]
+                xdir_new = jnp.where(act, xdir_new, 0.0)
+                xdif_new = jnp.where(act, xdif_new, 0.0)
+                xdif[r] = jnp.where(mm, xdif_new, xdif[r])
+                xdir[r] = jnp.where(mm, xdir_new, xdir[r])
 
         # --- overlap / entrapment mixing (radiation_spartacus_sw.F90:510-760)
-        full = lambda A: jnp.einsum("cij,cgjk,ckl->cgil", u, A, v)
-        copy00 = lambda A: _embed00(A[..., 0, 0], A)
-        both_clear = (clr & clr_above)[:, None, None, None]
-        above_clear = clr_above[:, None, None, None]
+        full = lambda A: pl_matmul(pl_matmul(u, A), v)
+        fX, fXd = full(X), full(Xd)
+        both_clear = (clr & clr_above)[:, None]
+        above_clear = clr_above[:, None]
 
         if mode == Entrapment.MAXIMUM:
-            alb_new, albd_new = full(X), full(Xd)
+            alb_new, albd_new = fX, fXd
         elif mode == Entrapment.ZERO:
             def zero_mix(A):
-                colsum = jnp.sum(A, axis=-2)                 # (c, g, 3)
-                return _diag(jnp.einsum("cgj,cji->cgi", colsum, v))
-            alb_new = jnp.where(above_clear, full(X), zero_mix(X))
-            albd_new = jnp.where(above_clear, full(Xd), zero_mix(Xd))
+                colsum = [A[0][j] + A[1][j] + A[2][j]
+                          for j in range(NREG)]     # sum over rows
+                d = [sum(colsum[j] * v[j][i] for j in range(NREG))
+                     for i in range(NREG)]
+                z = jnp.zeros_like(d[0])
+                return [[d[i] if i == j else z for j in range(NREG)]
+                        for i in range(NREG)]
+            alb_new = _pmat_where(above_clear, fX, zero_mix(X))
+            albd_new = _pmat_where(above_clear, fXd, zero_mix(Xd))
         else:
-            offd = lambda A: A * (1.0 - eye3)
+            zpl = jnp.zeros_like(X[0][0])
+            offd = lambda A: [[zpl if i == j else A[i][j]
+                               for j in range(NREG)] for i in range(NREG)]
             base, based = full(offd(X)), full(offd(Xd))
             if mode == Entrapment.EDGE_ONLY or not config.do_3d_effects:
                 def dmix(A):
-                    return _diag(jnp.einsum(
-                        "cgj,cji->cgi", _diag_part(A), v))
-                alb_new = base + dmix(X)
-                albd_new = based + dmix(Xd)
+                    d = [sum(A[j][j] * v[j][i] for j in range(NREG))
+                         for i in range(NREG)]
+                    return [[d[i] if i == j else zpl
+                             for j in range(NREG)] for i in range(NREG)]
+                alb_new = _pmat_add(base, dmix(X))
+                albd_new = _pmat_add(based, dmix(Xd))
             else:
                 # Explicit entrapment (radiation_spartacus_sw.F90:586-760)
-                acc = jnp.zeros_like(X)
-                accd = jnp.zeros_like(Xd)
+                acc = [[zpl] * NREG for _ in range(NREG)]
+                accd = [[zpl] * NREG for _ in range(NREG)]
                 for j2 in range(NREG):
                     ts = 1.0 - (1.0 - config.overhang_factor) * opp \
-                        * jnp.minimum(rf[..., j2], rfp[..., j2]) \
+                        * jnp.minimum(rf3[j2], rfp3[j2]) \
                         / jnp.maximum(config.cloud_fraction_threshold,
-                                      rf[..., j2])
+                                      rf3[j2])
                     ts = jnp.where(ntop, ts, 0.0)
 
                     def trd_entry(el_e, iup):
                         return ts * el_e \
-                            / jnp.maximum(u[..., iup, j2], 1.0e-5)
-                    tr01 = trd_entry(elp[..., 0], 0)
-                    tr10 = trd_entry(elp[..., 0], 1)
-                    tr12 = trd_entry(elp[..., 1], 1)
-                    tr21 = trd_entry(elp[..., 1], 2)
+                            / jnp.maximum(u9[NREG * iup + j2], 1.0e-5)
+                    tr01 = trd_entry(elp3[0], 0)
+                    tr10 = trd_entry(elp3[0], 1)
+                    tr12 = trd_entry(elp3[1], 1)
+                    tr21 = trd_entry(elp3[1], 2)
 
                     def entrap(xmig):
-                        xj = xmig[..., j2]                    # (ncol, ng)
+                        xj = xmig[j2]                 # (ncol, ng)
                         if mode == Entrapment.EXPLICIT:
                             ff = 1.0 / jnp.sqrt(jnp.maximum(
                                 1.0, 2.5 * xj * invszp[:, None]))
@@ -599,67 +639,83 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
                         return (e10 * scale, e01 * scale, e21 * scale,
                                 e12 * scale)
 
-                    vx = v[:, None, None, j2, :]             # v(j2, jreg)
-                    Pm = fast_expm_exchange_3(*entrap(xdif))
-                    acc = acc + Pm * vx \
-                        * X[..., j2, j2][..., None, None]
-                    Pmd = fast_expm_exchange_3(*entrap(xdir))
-                    accd = accd + Pmd * vx \
-                        * Xd[..., j2, j2][..., None, None]
-                alb_new = base + acc
-                albd_new = based + accd
-            alb_new = jnp.where(above_clear, full(X), alb_new)
-            albd_new = jnp.where(above_clear, full(Xd), albd_new)
-        alb_new = jnp.where(both_clear, copy00(X), alb_new)
-        albd_new = jnp.where(both_clear, copy00(Xd), albd_new)
+                    Pm = pl_fast_expm_exchange_3(*entrap(xdif))
+                    Pmd = pl_fast_expm_exchange_3(*entrap(xdir))
+                    for i in range(NREG):
+                        for j in range(NREG):
+                            vxj = v9[NREG * j2 + j][:, None]
+                            acc[i][j] = acc[i][j] \
+                                + Pm[i][j] * vxj * X[j2][j2]
+                            accd[i][j] = accd[i][j] \
+                                + Pmd[i][j] * vxj * Xd[j2][j2]
+                alb_new = _pmat_add(base, acc)
+                albd_new = _pmat_add(based, accd)
+            alb_new = _pmat_where(above_clear, fX, alb_new)
+            albd_new = _pmat_where(above_clear, fXd, albd_new)
+        alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X),
+                              alb_new)
+        albd_new = _pmat_where(both_clear, _pmat_embed00(Xd[0][0], Xd),
+                               albd_new)
 
         # migrate x through the interface (radiation_spartacus_sw.F90:758-777)
         if explicit:
-            active_j2 = jnp.stack(
-                [jnp.ones_like(clr), ~clr, ~clr], -1)        # (ncol, 3)
-            xm = lambda x: jnp.einsum(
-                "cgj,cji->cgi", x * active_j2[:, None, :], v)
-            nskip = ~(clr & clr_above)[:, None, None]
-            xdif = jnp.where(nskip, xm(xdif), xdif)
-            xdir = jnp.where(nskip, xm(xdir), xdir)
+            ones_c = jnp.ones_like(clr)
+            active_j2 = [ones_c, ~clr, ~clr]          # (ncol,) bool
 
-        return (alb_new, albd_new, alb_c_new, albd_c_new, xdif, xdir), \
-            out_albs
+            def xm(x):
+                return [sum(jnp.where(active_j2[j][:, None], x[j], 0.0)
+                            * v9[NREG * j + i][:, None]
+                            for j in range(NREG)) for i in range(NREG)]
 
-    alb0 = _diag(jnp.broadcast_to(albedo_diffuse[:, :, None],
-                                  (ncol, ng, NREG)))
-    albd0 = _diag(jnp.broadcast_to(
-        (mu0[:, None] * albedo_direct)[:, :, None], (ncol, ng, NREG)))
-    xz = jnp.zeros((ncol, ng, NREG), dtype)
-    carry0 = (alb0, albd0,
-              jnp.broadcast_to(albedo_diffuse, (ncol, ng)),
-              mu0[:, None] * albedo_direct, xz, xz)
+            nskip = ~(clr & clr_above)[:, None]
+            xdif = _pvec_where(nskip, xm(xdif), xdif)
+            xdir = _pvec_where(nskip, xm(xdir), xdir)
+
+        tup = lambda A: tuple(tuple(row) for row in A)
+        return (tup(alb_new), tup(albd_new), alb_c_new, albd_c_new,
+                tuple(xdif), tuple(xdir)), out_albs
+
+    zcg = jnp.zeros((ncol, ng), dtype)
+    bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
+    alb0 = tuple(tuple(bc(albedo_diffuse) if i == j else zcg
+                       for j in range(NREG)) for i in range(NREG))
+    albd0 = tuple(tuple(bc(mu0[:, None] * albedo_direct) if i == j
+                        else zcg for j in range(NREG))
+                  for i in range(NREG))
+    carry0 = (alb0, albd0, bc(albedo_diffuse),
+              bc(mu0[:, None] * albedo_direct),
+              (zcg,) * NREG, (zcg,) * NREG)
 
     xs_up = (Rs, Ts, Rds, Tdds, Tdirs,
              lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl), lev(tdir_cl),
-             lev(u_mat[:, :-1]), lev(v_mat[:, :-1]),
+             _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
              lev(clear_layer), lev(clear_pad[:, :-2]),
-             lev(at_or_below_cloud_top), lev(reg_fracs),
-             lev(el_above), lev(rf_above), lev(inv_size_above),
+             lev(at_or_below_cloud_top), _lev3(reg_fracs),
+             _lev3(el_above), _lev3(rf_above), lev(inv_size_above),
              lev(op_above),
              jnp.broadcast_to(not_top[:, None], (nlev, ncol)),
              lev(x_lay_dif_all), lev(x_lay_dir_all))
 
     (alb_f, albd_f, alb_c_f, albd_c_f, _, _), \
-        (alb_s, albd_s, alb_c_s, albd_c_s) = jax.lax.scan(
+        (alb_s9, albd_s9, alb_c_s, albd_c_s) = jax.lax.scan(
             up_step, carry0, xs_up, reverse=True)
 
     # ---- downward pass (radiation_spartacus_sw.F90:779-957)
-    ddn0 = incoming_sw[:, :, None] * reg_fracs[:, 0, None, :]
-    fup_toa = mat_x_vec(albd_f, ddn0)
+    ddn0 = tuple(incoming_sw * reg_fracs[:, 0, r][:, None]
+                 for r in range(NREG))
+    fup_toa = sum(pl_matvec([list(r) for r in albd_f], list(ddn0)))
     fup_toa_c = incoming_sw * albd_c_f
 
     def dn_step(carry, xs):
         fdn, ddn, fdn_c, ddn_c = carry
-        (R, T, Rd, Tdd, Tdir, rcl, tcl, rdcl, tddcl, tdircl,
-         alb_n, albd_n, alb_cn, albd_cn, v_below, clr, clr_below) = xs
-        src = mat_x_vec(Tdd, ddn)
-        ddn_above = mat_x_vec(Tdir, ddn)
+        (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl,
+         alb_n9, albd_n9, alb_cn, albd_cn, v9b, clr, clr_below) = xs
+        R, T = _punstack(R9), _punstack(T9)
+        Tdd, Tdir = _punstack(Tdd9), _punstack(Tdir9)
+        alb_n, albd_n = _punstack(alb_n9), _punstack(albd_n9)
+        fdn, ddn = list(fdn), list(ddn)
+        src = pl_matvec(Tdd, ddn)
+        ddn_above = pl_matvec(Tdir, ddn)
         # clear-sky scalars
         src_c = tddcl * ddn_c
         ddn_c2 = tdircl * ddn_c
@@ -667,45 +723,46 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
             / (1.0 - rcl * alb_cn)
         fup_c = albd_cn * ddn_c2 + alb_cn * fdn_c2
         # matrix branch
-        denom = eye3 - R @ alb_n
-        tsrc = mat_x_vec(albd_n, ddn_above)
-        fdn_above = solve_vec(denom, mat_x_vec(T, fdn)
-                              + mat_x_vec(R, tsrc) + src)
-        fup_above = mat_x_vec(alb_n, fdn_above) + tsrc
+        denom = _peye_minus(pl_matmul(R, alb_n))
+        tsrc = pl_matvec(albd_n, ddn_above)
+        rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn), pl_matvec(R, tsrc)),
+                        src)
+        fdn_above = pl_solve_vec(denom, rhs)
+        fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), tsrc)
         # clear-layer scalar branch, region 0
-        f0 = (T[..., 0, 0] * fdn[..., 0]
-              + R[..., 0, 0] * albd_n[..., 0, 0] * ddn_above[..., 0]
-              + src[..., 0]) / (1.0 - R[..., 0, 0] * alb_n[..., 0, 0])
-        u0 = albd_n[..., 0, 0] * ddn_above[..., 0] \
-            + alb_n[..., 0, 0] * f0
-        cm = clr[:, None, None]
-        fdn_above = jnp.where(cm, _embed00(f0, fdn_above), fdn_above)
-        fup_above = jnp.where(cm, _embed00(u0, fup_above), fup_above)
+        f0 = (T[0][0] * fdn[0]
+              + R[0][0] * albd_n[0][0] * ddn_above[0]
+              + src[0]) / (1.0 - R[0][0] * alb_n[0][0])
+        u0 = albd_n[0][0] * ddn_above[0] + alb_n[0][0] * f0
+        cm = clr[:, None]
+        fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above),
+                                fdn_above)
+        fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above),
+                                fup_above)
         # through the interface below
-        skip = (clr & clr_below)[:, None, None]
-        mix = lambda a: jnp.einsum("cij,cgj->cgi", v_below, a)
-        fdn_next = jnp.where(skip, fdn_above, mix(fdn_above))
-        ddn_next = jnp.where(skip, ddn_above, mix(ddn_above))
-        return (fdn_next, ddn_next, fdn_c2, ddn_c2), \
-            (fup_above, fdn_above, ddn_above, fup_c, fdn_c2, ddn_c2)
+        skip = (clr & clr_below)[:, None]
+        mix = lambda a: [sum(v9b[NREG * i + j][:, None] * a[j]
+                             for j in range(NREG)) for i in range(NREG)]
+        fdn_next = _pvec_where(skip, fdn_above, mix(fdn_above))
+        ddn_next = _pvec_where(skip, ddn_above, mix(ddn_above))
+        return (tuple(fdn_next), tuple(ddn_next), fdn_c2, ddn_c2), \
+            (sum(fup_above), sum(fdn_above), sum(ddn_above),
+             fup_c, fdn_c2, ddn_c2)
 
-    carry_dn0 = (jnp.zeros_like(ddn0), ddn0,
-                 jnp.zeros_like(incoming_sw), incoming_sw)
+    carry_dn0 = ((zcg,) * NREG, ddn0, zcg, bc(incoming_sw))
     xs_dn = (Rs, Ts, Rds, Tdds, Tdirs,
              lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl), lev(tdir_cl),
-             alb_s, albd_s, alb_c_s, albd_c_s,
-             lev(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
+             alb_s9, albd_s9, alb_c_s, albd_c_s,
+             _lev9(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
     _, (fup_l, fdn_l, fdir_l, fup_cl, fdn_cl, fdir_cl) = jax.lax.scan(
         dn_step, carry_dn0, xs_dn)
 
     tolev = lambda a: jnp.moveaxis(a, 0, 1)
-    # half-level (ncol, nlev+1, ng) profiles, regions summed
-    fup_g = jnp.concatenate([jnp.sum(fup_toa, -1)[:, None],
-                             jnp.sum(tolev(fup_l), -1)], 1)
+    # half-level (ncol, nlev+1, ng) profiles, regions already summed
+    fup_g = jnp.concatenate([fup_toa[:, None], tolev(fup_l)], 1)
     fdn_diff_g = jnp.concatenate([jnp.zeros((ncol, 1, ng), dtype),
-                                  jnp.sum(tolev(fdn_l), -1)], 1)
-    fdir_g = jnp.concatenate([incoming_sw[:, None],
-                              jnp.sum(tolev(fdir_l), -1)], 1)
+                                  tolev(fdn_l)], 1)
+    fdir_g = jnp.concatenate([incoming_sw[:, None], tolev(fdir_l)], 1)
     fup_c_g = jnp.concatenate([fup_toa_c[:, None], tolev(fup_cl)], 1)
     fdn_c_g = jnp.concatenate([jnp.zeros((ncol, 1, ng), dtype),
                                tolev(fdn_cl)], 1)
@@ -787,17 +844,13 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
 
     pl_top = planck_hl[:, :-1]                   # (ncol, nlev, ng)
     pl_bot = planck_hl[:, 1:]
-    eye3 = jnp.eye(NREG, dtype=dtype)
 
-    def layer_mats_planes(xs):
-        """Plane-form layer matrices (see matrix.py plane algebra
-        rationale): every quantity is a (batch..., ncol, ng) plane, so
-        the 3x3/6x6 algebra never touches padded minor-dim tiles.
-        Works for any leading batch dims (called on level chunks)."""
+    def layer_mats(xs):
+        """Plane-form LW layer matrices for a chunk of levels (see the
+        SW twin and matrix.py plane algebra).  Returns R, T stacked
+        (chunk, 9, ncol, ng) and src_up/src_dn stacked (chunk, 3, ncol,
+        ng)."""
         od3l, ssa3l, g3l, trl, sidel, rf, clr, plt, plb, uem = xs
-        from ecrad_tpu.solvers.matrix import (pl_expm, pl_matmul,
-                                              pl_matvec, pl_solve_mat,
-                                              pl_solve_vec)
         odr = [od3l[..., r] for r in range(NREG)]
         ssar = [ssa3l[..., r] for r in range(NREG)]
         gr = [g3l[..., r] for r in range(NREG)]
@@ -821,61 +874,86 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
         src_up = su_p
         src_dn = sd_p
         if any_expm:
-            # side-emissivity-scaled transfer rates
-            # (radiation_spartacus_lw.F90:311-338)
-            trs = [[trl[..., i, j][..., None] + zero
-                    for j in range(NREG)] for i in range(NREG)]
-            trs[1][0] = trs[1][0] * sidel
-            trs[2][0] = trs[2][0] * sidel
-            # exchange matrix: X[i][i] = sum_j tr[i][j]; X[i][j] = -tr[j][i]
-            D = [[(odr[i] * g1r[i] + sum(trs[i][k] for k in range(NREG))
-                   if i == j else -trs[j][i])
-                  for j in range(NREG)] for i in range(NREG)]
-            G2d = [odr[r] * g2r[r] for r in range(NREG)]
-            G = [[None] * (2 * NREG) for _ in range(2 * NREG)]
-            for i in range(NREG):
-                for j in range(NREG):
-                    G[i][j] = D[i][j]
-                    G[i][NREG + j] = -G2d[i] if i == j else zero
-                    G[NREG + i][j] = G2d[i] if i == j else zero
-                    G[NREG + i][NREG + j] = -D[i][j]
-            emis = [odr[r] * (1.0 - ssar[r]) * rfr[r] * LW_DIFFUSIVITY
-                    for r in range(NREG)]
-            dpl = plb - plt
-            pt = [-emis[r] * plt for r in range(NREG)] \
-                + [emis[r] * plt for r in range(NREG)]
-            pd = [-emis[r] * dpl for r in range(NREG)] \
-                + [emis[r] * dpl for r in range(NREG)]
-            sol_d = [-x for x in pl_solve_vec(G, pd)]
-            sol0 = pl_solve_vec(G, [sol_d[i] - pt[i]
-                                    for i in range(2 * NREG)])
-            E = pl_expm(G)
-            E11 = [row[0:NREG] for row in E[0:NREG]]
-            E12 = [row[NREG:] for row in E[0:NREG]]
-            E21 = [row[0:NREG] for row in E[NREG:]]
-            E22 = [row[NREG:] for row in E[NREG:]]
-            R_e = [[-x for x in row] for row in pl_solve_mat(E11, E12)]
-            T_e = pl_matmul(E21, R_e)
-            T_e = [[T_e[i][j] + E22[i][j] for j in range(NREG)]
-                   for i in range(NREG)]
-            v12 = pl_matvec(E12, sol0[NREG:])
-            tmp = [sol0[i] + sol_d[i] - v12[i] for i in range(NREG)]
-            xs_ = pl_solve_vec(E11, tmp)
-            su_e = [sol0[i] - xs_[i] for i in range(NREG)]
-            v21 = pl_matvec(E21, [su_e[i] - sol0[i]
-                                  for i in range(NREG)])
-            v22 = pl_matvec(E22, sol0[NREG:])
-            sd_e = [v21[i] + sol0[NREG + i] - v22[i] + sol_d[NREG + i]
-                    for i in range(NREG)]
-            for i in range(NREG):
-                for j in range(NREG):
-                    Rp[i][j] = jnp.where(uem, R_e[i][j], Rp[i][j])
-                    Tp[i][j] = jnp.where(uem, T_e[i][j], Tp[i][j])
-            src_up = [jnp.where(uem, su_e[r], src_up[r])
-                      for r in range(NREG)]
-            src_dn = [jnp.where(uem, sd_e[r], src_dn[r])
-                      for r in range(NREG)]
-        # clear layers: only the [0,0] / region-0 entries survive
+            def refine(state):
+                """Replace uem-masked entries by the expm-derived layer
+                matrices and sources; runs under a per-level lax.cond
+                so levels with no 3D-active element skip the 6x6
+                exponential entirely."""
+                Rp, Tp, src_up, src_dn = state
+                Rp = [list(row) for row in Rp]
+                Tp = [list(row) for row in Tp]
+                src_up, src_dn = list(src_up), list(src_dn)
+                # side-emissivity-scaled transfer rates
+                # (radiation_spartacus_lw.F90:311-338)
+                trs = [[trl[..., i, j][..., None] + zero
+                        for j in range(NREG)] for i in range(NREG)]
+                trs[1][0] = trs[1][0] * sidel
+                trs[2][0] = trs[2][0] * sidel
+                # exchange: X[i][i] = sum_j tr[i][j]; X[i][j] = -tr[j][i]
+                D = [[(odr[i] * g1r[i]
+                       + sum(trs[i][k] for k in range(NREG))
+                       if i == j else -trs[j][i])
+                      for j in range(NREG)] for i in range(NREG)]
+                G2d = [odr[r] * g2r[r] for r in range(NREG)]
+                G = [[None] * (2 * NREG) for _ in range(2 * NREG)]
+                for i in range(NREG):
+                    for j in range(NREG):
+                        G[i][j] = D[i][j]
+                        G[i][NREG + j] = -G2d[i] if i == j else zero
+                        G[NREG + i][j] = G2d[i] if i == j else zero
+                        G[NREG + i][NREG + j] = -D[i][j]
+                emis = [odr[r] * (1.0 - ssar[r]) * rfr[r]
+                        * LW_DIFFUSIVITY for r in range(NREG)]
+                dpl = plb - plt
+                pt = [-emis[r] * plt for r in range(NREG)] \
+                    + [emis[r] * plt for r in range(NREG)]
+                pd = [-emis[r] * dpl for r in range(NREG)] \
+                    + [emis[r] * dpl for r in range(NREG)]
+                sol_d = [-x for x in pl_solve_vec(G, pd)]
+                sol0 = pl_solve_vec(G, [sol_d[i] - pt[i]
+                                        for i in range(2 * NREG)])
+                E = pl_expm(G)
+                E11 = [row[0:NREG] for row in E[0:NREG]]
+                E12 = [row[NREG:] for row in E[0:NREG]]
+                E21 = [row[0:NREG] for row in E[NREG:]]
+                E22 = [row[NREG:] for row in E[NREG:]]
+                R_e = [[-x for x in row]
+                       for row in pl_solve_mat(E11, E12)]
+                T_e = pl_matmul(E21, R_e)
+                T_e = [[T_e[i][j] + E22[i][j] for j in range(NREG)]
+                       for i in range(NREG)]
+                v12 = pl_matvec(E12, sol0[NREG:])
+                tmp = [sol0[i] + sol_d[i] - v12[i] for i in range(NREG)]
+                xs_ = pl_solve_vec(E11, tmp)
+                su_e = [sol0[i] - xs_[i] for i in range(NREG)]
+                v21 = pl_matvec(E21, [su_e[i] - sol0[i]
+                                      for i in range(NREG)])
+                v22 = pl_matvec(E22, sol0[NREG:])
+                sd_e = [v21[i] + sol0[NREG + i] - v22[i]
+                        + sol_d[NREG + i] for i in range(NREG)]
+                for i in range(NREG):
+                    for j in range(NREG):
+                        Rp[i][j] = jnp.where(uem, R_e[i][j], Rp[i][j])
+                        Tp[i][j] = jnp.where(uem, T_e[i][j], Tp[i][j])
+                src_up = [jnp.where(uem, su_e[r], src_up[r])
+                          for r in range(NREG)]
+                src_dn = [jnp.where(uem, sd_e[r], src_dn[r])
+                          for r in range(NREG)]
+                tup = lambda Mx: tuple(tuple(row) for row in Mx)
+                return (tup(Rp), tup(Tp), tuple(src_up), tuple(src_dn))
+
+            shp0 = odr[0].shape
+            bcp = lambda x: jnp.broadcast_to(x, shp0)
+            state0 = (tuple(tuple(bcp(x) for x in row) for row in Rp),
+                      tuple(tuple(bcp(x) for x in row) for row in Tp),
+                      tuple(bcp(x) for x in src_up),
+                      tuple(bcp(x) for x in src_dn))
+            Rp, Tp, src_up, src_dn = jax.lax.cond(
+                jnp.any(uem), refine, lambda s: s, state0)
+            Rp = [list(row) for row in Rp]
+            Tp = [list(row) for row in Tp]
+            src_up, src_dn = list(src_up), list(src_dn)
+        # clear layers: only the [0][0] / region-0 entries survive
         # (select, never a 0/1 multiply — masked entries may be NaN
         # from the degenerate expm branch)
         clrb = clr[..., None]
@@ -889,74 +967,19 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
         for r in range(1, NREG):
             src_up[r] = jnp.where(clrb, z0, src_up[r])
             src_dn[r] = jnp.where(clrb, z0, src_dn[r])
-        from ecrad_tpu.solvers.matrix import planes_to, vplanes_to
-        return (planes_to(Rp), planes_to(Tp), vplanes_to(src_up),
-                vplanes_to(src_dn))
-
-    def layer_mats_array(xs):
-        od3l, ssa3l, g3l, trl, sidel, rf, clr, plt, plb, uem = xs
-        g1, g2 = two_stream.lw_gammas(ssa3l, g3l)
-        rfb = rf[:, None, :]
-        r_mw, t_mw, su_mw, sd_mw = two_stream.lw_ref_trans(
-            od3l, ssa3l, g3l, rfb * plt[..., None], rfb * plb[..., None])
-        R = _diag(r_mw)
-        T = _diag(t_mw)
-        src_up = su_mw
-        src_dn = sd_mw
-        if any_expm:
-            # side-emissivity-scaled transfer rates
-            # (radiation_spartacus_lw.F90:311-338)
-            trs = jnp.broadcast_to(
-                trl[:, None, :, :],
-                sidel.shape + (NREG, NREG)).copy()
-            trs = trs.at[..., 1, 0].mul(sidel)
-            trs = trs.at[..., 2, 0].mul(sidel)
-            D = _diag(od3l * g1) + _exchange(trs)
-            G2 = _diag(od3l * g2)
-            G = jnp.concatenate([
-                jnp.concatenate([D, -G2], -1),
-                jnp.concatenate([G2, -D], -1)], -2)
-            emis = od3l * (1.0 - ssa3l) * rfb * LW_DIFFUSIVITY
-            pt = jnp.concatenate([-emis * plt[..., None],
-                                  emis * plt[..., None]], -1)
-            pd = jnp.concatenate(
-                [-emis * (plb - plt)[..., None],
-                 emis * (plb - plt)[..., None]], -1)
-            sol_d = -solve_vec(G, pd)
-            sol0 = solve_vec(G, sol_d - pt)
-            E = expm(G)
-            E11 = E[..., 0:3, 0:3]
-            E12 = E[..., 0:3, 3:6]
-            E21 = E[..., 3:6, 0:3]
-            E22 = E[..., 3:6, 3:6]
-            R_e = -solve_mat(E11, E12)
-            T_e = E21 @ R_e + E22
-            tmp = sol0[..., 0:3] + sol_d[..., 0:3] \
-                - mat_x_vec(E12, sol0[..., 3:6])
-            su_e = sol0[..., 0:3] - solve_vec(E11, tmp)
-            sd_e = mat_x_vec(E21, su_e - sol0[..., 0:3]) \
-                + sol0[..., 3:6] - mat_x_vec(E22, sol0[..., 3:6]) \
-                + sol_d[..., 3:6]
-            m = uem[..., None, None]
-            R = jnp.where(m, R_e, R)
-            T = jnp.where(m, T_e, T)
-            src_up = jnp.where(uem[..., None], su_e, src_up)
-            src_dn = jnp.where(uem[..., None], sd_e, src_dn)
-        R, T = _zero_clear([R, T], clr)
-        sm = clr[:, None, None]
-        keepv = jnp.zeros((NREG,), dtype).at[0].set(1.0)
-        src_up = jnp.where(sm, src_up * keepv, src_up)
-        src_dn = jnp.where(sm, src_dn * keepv, src_dn)
-        return R, T, src_up, src_dn
+        shp = odr[0].shape
+        stk = lambda Pm: jnp.stack(
+            [jnp.broadcast_to(x, shp) for row in Pm for x in row], axis=1)
+        stkv = lambda pv: jnp.stack(
+            [jnp.broadcast_to(x, shp) for x in pv], axis=1)
+        return stk(Rp), stk(Tp), stkv(src_up), stkv(src_dn)
 
     lev = lambda a: jnp.moveaxis(a, 1, 0)
     xs_mats = (lev(od3), lev(ssa3), lev(g3), lev(tr), lev(side_emiss),
                lev(reg_fracs), lev(clear_layer), lev(pl_top),
                lev(pl_bot), lev(use_expm))
-    if _use_plane_layer_mats():
-        Rs, Ts, SUs, SDs = _map_levels(layer_mats_planes, xs_mats, nlev)
-    else:
-        Rs, Ts, SUs, SDs = jax.lax.map(layer_mats_array, xs_mats)
+    # R/T (nlev, 9, ncol, ng); SU/SD (nlev, 3, ncol, ng)
+    Rs, Ts, SUs, SDs = _map_levels(layer_mats, xs_mats, nlev)
 
     # clear-sky scalar layer properties
     r_cl, t_cl, su_cl, sd_cl = two_stream.lw_ref_trans(
@@ -969,86 +992,115 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
 
     def up_step(carry, xs):
         alb, src, alb_c, src_c = carry
-        (R, T, SU, SD, rcl, tcl, sucl, sdcl, u, v, clr, clr_above) = xs
-        out = (alb, src, alb_c, src_c)
+        (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, u9, v9, clr,
+         clr_above) = xs
+        R, T = _punstack(R9), _punstack(T9)
+        SU = [SU3[r] for r in range(NREG)]
+        SD = [SD3[r] for r in range(NREG)]
+        alb = [list(row) for row in alb]
+        src = list(src)
+        u = [[u9[NREG * i + j][:, None] for j in range(NREG)]
+             for i in range(NREG)]
+        v = [[v9[NREG * i + j][:, None] for j in range(NREG)]
+             for i in range(NREG)]
+        out = (_pstack(alb), _pstack(src), alb_c, src_c)
         # clear-sky scalar (radiation_spartacus_lw.F90:425-437)
         inv_d = 1.0 / (1.0 - alb_c * rcl)
         alb_c_new = rcl + tcl * tcl * alb_c * inv_d
         src_c_new = sucl + tcl * (src_c + alb_c * sdcl) * inv_d
         # matrix branch (L452-467); reduces exactly to the reference's
         # per-region diagonal branch (L468-484) when all inputs diagonal
-        denom = eye3 - alb @ R
-        X = R + T @ solve_mat(denom, alb @ T)
-        S = SU + mat_x_vec(T, solve_vec(denom, src + mat_x_vec(alb, SD)))
+        denom = _peye_minus(pl_matmul(alb, R))
+        X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
+                                                   pl_matmul(alb, T))))
+        rhs = _pvec_add(src, pl_matvec(alb, SD))
+        S = _pvec_add(SU, pl_matvec(T, pl_solve_vec(denom, rhs)))
         # clear-layer scalar branch (L438-451), region 0
-        a00 = alb[..., 0, 0]
-        inv_s = 1.0 / (1.0 - a00 * R[..., 0, 0])
-        x00 = R[..., 0, 0] + T[..., 0, 0] ** 2 * a00 * inv_s
-        s0 = SU[..., 0] + T[..., 0, 0] * (src[..., 0]
-                                          + a00 * SD[..., 0]) * inv_s
-        cm = clr[:, None, None]
-        X = jnp.where(cm[..., None], _embed00(x00, X), X)
-        S = jnp.where(cm, _embed00(s0, S), S)
+        a00 = alb[0][0]
+        inv_s = 1.0 / (1.0 - a00 * R[0][0])
+        x00 = R[0][0] + T[0][0] ** 2 * a00 * inv_s
+        s0 = SU[0] + T[0][0] * (src[0] + a00 * SD[0]) * inv_s
+        cm = clr[:, None]
+        X = _pmat_where(cm, _pmat_embed00(x00, X), X)
+        S = _pvec_where(cm, _pvec_embed0(s0, S), S)
         # mixing (L485-508)
-        both_clear = (clr & clr_above)[:, None, None]
-        src_mixed = jnp.einsum("cij,cgj->cgi", u, S)
-        src_new = jnp.where(both_clear, _embed00(S[..., 0], S), src_mixed)
+        both_clear = (clr & clr_above)[:, None]
+        src_mixed = [sum(u[i][j] * S[j] for j in range(NREG))
+                     for i in range(NREG)]
+        src_new = _pvec_where(both_clear, _pvec_embed0(S[0], S),
+                              src_mixed)
         if multilayer:
-            mixed = jnp.einsum("cij,cgjk,ckl->cgil", u, X, v)
+            mixed = pl_matmul(pl_matmul(u, X), v)
         else:
-            mixed = _diag(jnp.einsum("cgj,cji->cgi", _diag_part(X), v))
-        alb_new = jnp.where(both_clear[..., None],
-                            _embed00(X[..., 0, 0], X), mixed)
-        return (alb_new, src_new, alb_c_new, src_c_new), out
+            d = [sum(X[j][j] * v[j][i] for j in range(NREG))
+                 for i in range(NREG)]
+            z = jnp.zeros_like(d[0])
+            mixed = [[d[i] if i == j else z for j in range(NREG)]
+                     for i in range(NREG)]
+        alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X),
+                              mixed)
+        tup = lambda A: tuple(tuple(row) for row in A)
+        return (tup(alb_new), tuple(src_new), alb_c_new, src_c_new), out
 
-    alb0 = _diag(jnp.broadcast_to(albedo[:, :, None], (ncol, ng, NREG)))
-    src0 = emission[:, :, None] * reg_fracs[:, -1, None, :]
-    carry0 = (alb0, src0, jnp.broadcast_to(albedo, (ncol, ng)), emission)
+    zcg = jnp.zeros((ncol, ng), dtype)
+    bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
+    alb0 = tuple(tuple(bc(albedo) if i == j else zcg
+                       for j in range(NREG)) for i in range(NREG))
+    src0 = tuple(emission * reg_fracs[:, -1, r][:, None]
+                 for r in range(NREG))
+    carry0 = (alb0, src0, bc(albedo), bc(emission))
     xs_up = (Rs, Ts, SUs, SDs,
              lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
-             lev(u_mat[:, :-1]), lev(v_mat[:, :-1]),
+             _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
              lev(clear_layer), lev(clear_pad[:, :-2]))
-    (alb_f, src_f, alb_c_f, src_c_f), (alb_s, src_s, alb_c_s, src_c_s) = \
-        jax.lax.scan(up_step, carry0, xs_up, reverse=True)
+    (alb_f, src_f, alb_c_f, src_c_f), (alb_s9, src_s3, alb_c_s, src_c_s) \
+        = jax.lax.scan(up_step, carry0, xs_up, reverse=True)
 
     # ---- downward pass (radiation_spartacus_lw.F90:509-595)
     def dn_step(carry, xs):
         fdn, fdn_c = carry
-        (R, T, SU, SD, rcl, tcl, sucl, sdcl, src_n, alb_n, src_cn,
-         alb_cn, v_below, clr, clr_below) = xs
+        (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, src_n3, alb_n9, src_cn,
+         alb_cn, v9b, clr, clr_below) = xs
+        R, T = _punstack(R9), _punstack(T9)
+        SD = [SD3[r] for r in range(NREG)]
+        alb_n = _punstack(alb_n9)
+        src_n = [src_n3[r] for r in range(NREG)]
+        fdn = list(fdn)
         fdn_c2 = (tcl * fdn_c + rcl * src_cn + sdcl) \
             / (1.0 - rcl * alb_cn)
         fup_c = src_cn + alb_cn * fdn_c2
-        denom = eye3 - R @ alb_n
-        fdn_above = solve_vec(denom, mat_x_vec(T, fdn)
-                              + mat_x_vec(R, src_n) + SD)
-        fup_above = mat_x_vec(alb_n, fdn_above) + src_n
-        f0 = (T[..., 0, 0] * fdn[..., 0] + R[..., 0, 0] * src_n[..., 0]
-              + SD[..., 0]) / (1.0 - R[..., 0, 0] * alb_n[..., 0, 0])
-        u0 = src_n[..., 0] + alb_n[..., 0, 0] * f0
-        cm = clr[:, None, None]
-        fdn_above = jnp.where(cm, _embed00(f0, fdn_above), fdn_above)
-        fup_above = jnp.where(cm, _embed00(u0, fup_above), fup_above)
-        skip = (clr & clr_below)[:, None, None]
-        fdn_next = jnp.where(
-            skip, fdn_above,
-            jnp.einsum("cij,cgj->cgi", v_below, fdn_above))
-        return (fdn_next, fdn_c2), (fup_above, fdn_above, fup_c, fdn_c2)
+        denom = _peye_minus(pl_matmul(R, alb_n))
+        rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn),
+                                  pl_matvec(R, src_n)), SD)
+        fdn_above = pl_solve_vec(denom, rhs)
+        fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), src_n)
+        f0 = (T[0][0] * fdn[0] + R[0][0] * src_n[0] + SD[0]) \
+            / (1.0 - R[0][0] * alb_n[0][0])
+        u0 = src_n[0] + alb_n[0][0] * f0
+        cm = clr[:, None]
+        fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above),
+                                fdn_above)
+        fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above),
+                                fup_above)
+        skip = (clr & clr_below)[:, None]
+        mix = [sum(v9b[NREG * i + j][:, None] * fdn_above[j]
+                   for j in range(NREG)) for i in range(NREG)]
+        fdn_next = _pvec_where(skip, fdn_above, mix)
+        return (tuple(fdn_next), fdn_c2), \
+            (sum(fup_above), sum(fdn_above), fup_c, fdn_c2)
 
-    carry_dn0 = (jnp.zeros((ncol, ng, NREG), dtype),
-                 jnp.zeros((ncol, ng), dtype))
+    carry_dn0 = ((zcg,) * NREG, zcg)
     xs_dn = (Rs, Ts, SUs, SDs,
              lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
-             src_s, alb_s, src_c_s, alb_c_s,
-             lev(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
+             src_s3, alb_s9, src_c_s, alb_c_s,
+             _lev9(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
     _, (fup_l, fdn_l, fup_cl, fdn_cl) = jax.lax.scan(
         dn_step, carry_dn0, xs_dn)
 
     tolev = lambda a: jnp.moveaxis(a, 0, 1)
-    fup_g = jnp.concatenate([jnp.sum(src_f, -1)[:, None],
-                             jnp.sum(tolev(fup_l), -1)], 1)
+    fup_g = jnp.concatenate([sum(src_f)[:, None], tolev(fup_l)], 1)
     fdn_g = jnp.concatenate([jnp.zeros((ncol, 1, ng), dtype),
-                             jnp.sum(tolev(fdn_l), -1)], 1)
+                             tolev(fdn_l)], 1)
     fup_c_g = jnp.concatenate([src_c_f[:, None], tolev(fup_cl)], 1)
     fdn_c_g = jnp.concatenate([jnp.zeros((ncol, 1, ng), dtype),
                                tolev(fdn_cl)], 1)
@@ -1056,20 +1108,22 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
     lw_derivatives = None
     if config.do_lw_derivatives:
         # calc_lw_derivatives_matrix (radiation_lw_derivatives.F90:138-193)
-        fup_surf_g = jnp.sum(fup_l[-1], -1)       # (ncol, ng)
-        dinit = _embed00(
+        fup_surf_g = fup_l[-1]                    # (ncol, ng), regions
+        dinit = tuple(
             fup_surf_g / jnp.maximum(
-                jnp.sum(fup_surf_g, -1, keepdims=True), 1e-300),
-            jnp.zeros((ncol, ng, NREG), dtype))
+                jnp.sum(fup_surf_g, -1, keepdims=True), 1e-300)
+            if r == 0 else zcg for r in range(NREG))
 
         def deriv_step(d, xs):
-            T, u_below = xs
-            d = jnp.einsum("cij,cgj->cgi", u_below, d)
-            d = mat_x_vec(T, d)
-            return d, jnp.sum(d, axis=(-2, -1))
+            T9, u9b = xs
+            T = _punstack(T9)
+            d = [sum(u9b[NREG * i + j][:, None] * d[j]
+                     for j in range(NREG)) for i in range(NREG)]
+            d = pl_matvec(T, d)
+            return tuple(d), sum(jnp.sum(dr, axis=-1) for dr in d)
 
         _, dvals = jax.lax.scan(
-            deriv_step, dinit, (Ts, lev(u_mat[:, 1:])), reverse=True)
+            deriv_step, dinit, (Ts, _lev9(u_mat[:, 1:])), reverse=True)
         lw_derivatives = jnp.concatenate(
             [dvals.T, jnp.ones((ncol, 1), dtype)], 1)
 

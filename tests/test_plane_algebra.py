@@ -128,6 +128,42 @@ def test_pl_expm_repeated_eigenvalue_case():
         jnp.asarray([a]), jnp.asarray([b]), jnp.asarray([c]),
         jnp.asarray([d])))[0]
     np.testing.assert_allclose(fast, ref, rtol=1e-9, atol=1e-12)
+    # plane-form twin must match the array form exactly
+    pfast = np.asarray(M.planes_to(M.pl_fast_expm_exchange_3(
+        jnp.asarray([a]), jnp.asarray([b]), jnp.asarray([c]),
+        jnp.asarray([d]))))[0]
+    np.testing.assert_allclose(pfast, fast, rtol=1e-14, atol=0.0)
+
+
+def test_pl_expm_blockut_matches_dense():
+    """The block-UT expm (SW Gamma structure) must match the dense
+    plane expm on matrices with a zero lower-left 3x6 block, across
+    norms exercising 0..many squarings."""
+    rng = np.random.default_rng(41)
+    for scale in (2.0, 40.0, 3000.0):
+        G = _exchange_generator(rng, (5,), 9, od_scale=scale)
+        G[..., 6:9, 0:6] = 0.0                 # SW block-UT structure
+        Gp = M.planes_from(jnp.asarray(G))
+        dense = np.asarray(M.planes_to(M.pl_expm(Gp)))
+        A11 = [[Gp[i][j] for j in range(6)] for i in range(6)]
+        A13 = [[Gp[i][6 + j] for j in range(3)] for i in range(6)]
+        A33 = [[Gp[6 + i][6 + j] for j in range(3)] for i in range(3)]
+        E11, E13, E33 = M.pl_expm_blockut(A11, A13, A33)
+        got = np.zeros_like(dense)
+        got[..., 0:6, 0:6] = np.asarray(M.planes_to(E11))
+        got[..., 0:6, 6:9] = np.asarray(M.planes_to(E13))
+        got[..., 6:9, 6:9] = np.asarray(M.planes_to(E33))
+        assert np.abs(dense[..., 6:9, 0:6]).max() < 1e-13
+        np.testing.assert_allclose(got, dense, rtol=1e-10, atol=1e-13)
+
+
+def test_pl_fast_expm_exchange_3_batch():
+    rng = np.random.default_rng(5)
+    a, b, c, d = [jnp.asarray(np.abs(rng.random((6, 7)))) for _ in
+                  range(4)]
+    arr = np.asarray(M.fast_expm_exchange_3(a, b, c, d))
+    pl = np.asarray(M.planes_to(M.pl_fast_expm_exchange_3(a, b, c, d)))
+    np.testing.assert_allclose(pl, arr, rtol=1e-13, atol=1e-15)
 
 
 def test_static_squaring_cap_covers_config_clamps():
