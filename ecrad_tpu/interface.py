@@ -412,7 +412,10 @@ def use_kernel_layout(config: Config, tables: Tables, cloud) -> bool:
         for k in ("od_scaling_sw", "od_scaling_lw"):
             if k in cloud and tuple(cloud[k].shape[:2]) == frac_shape:
                 return False
-    ok = (Solver.MCICA, Solver.HOMOGENEOUS)
+    ok = (Solver.MCICA, Solver.HOMOGENEOUS, Solver.TRIPLECLOUDS)
+    if (Solver.TRIPLECLOUDS in (config.lw_solver, config.sw_solver)
+            and config.nregions != 3):
+        return False
     if config.do_lw:
         if config.gas_model_lw != GasModel.RRTMG:
             return False
@@ -744,7 +747,7 @@ def radiation(config: Config, tables: Tables, *,
                 cl["od_lw"], cl["ssa_lw"], cl["g_lw"],
                 tables.band_from_g_lw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], planck_hl, lw_emission,
-                lw_albedo_g, spec_matrix=spec_lw_m)
+                lw_albedo_g, spec_matrix=spec_lw_m, layout=layout)
         elif config.lw_solver == Solver.SPARTACUS:
             perm = _spartacus_perm(config, is_sw=False)
             pj = jnp.asarray(perm)
@@ -834,7 +837,7 @@ def radiation(config: Config, tables: Tables, *,
                 tables.band_from_g_sw, frac, cloud["fractional_std"],
                 cloud["overlap_param"], go.incoming_sw, cos_sza,
                 sw_albedo_diffuse_g, sw_albedo_direct_g,
-                spec_matrix=spec_sw_m)
+                spec_matrix=spec_sw_m, layout=layout)
         elif config.sw_solver == Solver.SPARTACUS:
             perm = _spartacus_perm(config, is_sw=True)
             pj = jnp.asarray(perm)

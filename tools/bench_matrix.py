@@ -50,11 +50,13 @@ CONFIGS = {
         use_aerosols=False, n_aerosol_types=0, i_aerosol_type_map=(),
     ), 2048, 1024),
     # BASELINE config 5: SPARTACUS 3D SW+LW, explicit entrapment
-    # (configCY49R1 solver swap + do_3d_effects, test_spartacus pattern)
+    # (configCY49R1 solver swap + do_3d_effects, test_spartacus pattern).
+    # ncol=512 unblocked measured fastest per column (round-5: 2.8k
+    # cols/s vs 2.0k blocked at 256, 2.5k at 1024)
     "spartacus_3d": (dict(
         sw_solver_name="SPARTACUS", lw_solver_name="SPARTACUS",
         do_3d_effects=True, do_sw_delta_scaling_with_gases=False,
-    ), 512, 256),
+    ), 512, 512),
 }
 
 
