@@ -135,3 +135,74 @@ def test_tpu_spartacus_f32_vs_selfreg():
     sys.stderr.write(r.stderr[-2000:])
     assert r.returncode == 0 and "TPU_SPARTACUS_OK" in r.stdout, (
         f"TPU SPARTACUS smoke failed rc={r.returncode}")
+
+
+_TRIPLECLOUDS_SCRIPT = r"""
+import os, sys, dataclasses
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+from ecrad_tpu.jax_setup import enable_persistent_cache
+enable_persistent_cache()
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected accelerator, got {dev}"
+print("device:", dev)
+
+sys.path.insert(0, os.path.join(%(repo)r, "tools"))
+import __graft_entry__ as ge
+from bench_matrix import _resolve
+over = _resolve(dict(sw_solver_name="Tripleclouds",
+                     lw_solver_name="Tripleclouds"))
+
+def run(adding_mode, ncol=128):
+    os.environ["ECRAD_TPU_ADDING"] = adding_mode
+    step, args = ge._build(ncol=ncol, dtype="float32",
+                           nam_overrides=over)
+    out = jax.jit(step)(*args)
+    jax.block_until_ready(out)
+    os.environ.pop("ECRAD_TPU_ADDING", None)
+    return out
+
+ref = run("scan")          # unfused lax.scan path (golden-validated)
+got = run("pallas")        # fused pallas_tripleclouds kernels
+worst = {}
+for f in [x.name for x in dataclasses.fields(ref)]:
+    a, b = getattr(ref, f), getattr(got, f)
+    if a is None or not hasattr(a, "shape"):
+        assert (a is None) == (b is None), f
+        continue
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a.shape == b.shape, (f, a.shape, b.shape)
+    worst[f] = float(np.abs(a - b).max() / max(1.0, np.abs(a).max()))
+print("fused-vs-scan rel:",
+      {k: round(v, 7) for k, v in sorted(worst.items(),
+                                         key=lambda kv: -kv[1])[:5]})
+# bound: the established pallas-vs-scan f32 noise floor measured on the
+# validated fused-McICA path with this exact protocol (~2.4e-4 worst)
+bad = {k: v for k, v in worst.items() if v > 5e-4}
+assert not bad, f"fused Tripleclouds deviates beyond noise floor: {bad}"
+print("TPU_TRIPLECLOUDS_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="set RUN_TPU_TESTS=1 to run on the real TPU")
+def test_tpu_tripleclouds_fused_vs_scan():
+    """Fused Pallas Tripleclouds (pallas_tripleclouds.py) matches the
+    unfused golden-validated lax.scan path on the real device within
+    the pallas-vs-scan f32 noise floor."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    r = subprocess.run(
+        [sys.executable, "-c", _TRIPLECLOUDS_SCRIPT % {"repo": repo}],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0 and "TPU_TRIPLECLOUDS_OK" in r.stdout, (
+        f"TPU Tripleclouds smoke failed rc={r.returncode}")
