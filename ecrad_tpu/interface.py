@@ -506,10 +506,23 @@ def _optical_properties(config: Config, tables: Tables, *,
             gas_vmr = {name: mmr * (constants.MOLAR_MASS_DRY_AIR
                                     / constants.MOLAR_MASS[name])
                        for name, mmr in gdict.items()}
+            # share the bilinear one-hot between the SW and LW models
+            # when their LUT grids coincide (they do for the standard
+            # ecCKD files) — halves the W4 construction cost
+            pt_w = pt_w_lw = None
+            both = (config.do_sw and config.do_lw
+                    and config.gas_model_sw == GasModel.ECCKD
+                    and config.gas_model_lw == GasModel.ECCKD)
+            if both and (ecckd_mod.grid_signature(
+                    tables.gas["sw"], tables.gas_meta["sw"])
+                    == ecckd_mod.grid_signature(
+                        tables.gas["lw"], tables.gas_meta["lw"])):
+                pt_w = pt_w_lw = ecckd_mod.pt_onehot(
+                    tables.gas["sw"], tables.gas_meta["sw"], phl, t_fl)
             if config.do_sw and config.gas_model_sw == GasModel.ECCKD:
                 od_sw_g, ray = ecckd_mod.calc_optical_depth(
                     tables.gas["sw"], tables.gas_meta["sw"], phl, t_fl,
-                    gas_vmr)
+                    gas_vmr, pt_w=pt_w)
                 od_sw_tot = od_sw_g + ray
                 go_kw["od_sw"] = od_sw_tot
                 go_kw["ssa_sw"] = ray / od_sw_tot
@@ -524,7 +537,7 @@ def _optical_properties(config: Config, tables: Tables, *,
             if config.do_lw and config.gas_model_lw == GasModel.ECCKD:
                 od_lw_g, _ = ecckd_mod.calc_optical_depth(
                     tables.gas["lw"], tables.gas_meta["lw"], phl, t_fl,
-                    gas_vmr)
+                    gas_vmr, pt_w=pt_w_lw)
                 go_kw["od_lw"] = jnp.maximum(od_lw_g,
                                              config.min_gas_od_lw)
                 go_kw["planck_hl"] = ecckd_mod.calc_planck(

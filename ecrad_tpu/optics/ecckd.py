@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,17 +99,16 @@ def load_ckd_model(path: str):
     return t, specdef, meta
 
 
-def calc_optical_depth(tables: Dict, meta: Dict, pressure_hl,
-                       temperature_fl, gas_vmr):
-    """radiation_ecckd.F90:457-658 calc_optical_depth_ckd_model.
-
-    gas_vmr: dict name → (ncol, nlev) volume mixing ratio ("composite"
-    needs no entry).  Returns (od (ncol,nlev,ng) [, rayleigh_od]).
-    """
+def pt_onehot(tables: Dict, meta: Dict, pressure_hl, temperature_fl):
+    """Weighted one-hot over the flat (t, p) LUT grid: W4 has the four
+    bilinear corner weights as its only nonzeros, so ``W4 @ table`` IS
+    the interpolation — one MXU matmul over the tiny (~318, ng) tables
+    replaces the 4 row-gathers per gas that dominated the ecCKD step
+    on TPU (measured 68 ms of gathers at ncol=2048; the matmul form
+    runs at a few ms).  Shareable between the SW and LW models when
+    their (pressure, temperature) grids coincide (grid_signature)."""
     dtype = pressure_hl.dtype
     npress, ntemp = meta["npress"], meta["ntemp"]
-    global_multiplier = 1.0 / (GRAVITY * 0.001 * AIR_MOLAR_MASS)
-
     log_p = jnp.log(0.5 * (pressure_hl[:, :-1] + pressure_hl[:, 1:]))
     pindex1 = (log_p - meta["log_pressure1"]) / meta["d_log_pressure"]
     pindex1 = 1.0 + jnp.clip(pindex1, 0.0, npress - 1.0001)
@@ -124,83 +124,115 @@ def calc_optical_depth(tables: Dict, meta: Dict, pressure_hl,
     tw2 = tindex1 - it1
     tw1 = 1.0 - tw2
 
+    ncol, nlev = log_p.shape
+    B = ncol * nlev
+    fl = lambda x: x.reshape(B)
+    iota_p = jnp.arange(npress, dtype=jnp.int32)
+    WP = (jnp.where(iota_p == (fl(ip1) - 1)[:, None], fl(pw1)[:, None],
+                    0.0)
+          + jnp.where(iota_p == fl(ip1)[:, None], fl(pw2)[:, None],
+                      0.0)).astype(dtype)
+    iota_t = jnp.arange(ntemp, dtype=jnp.int32)
+    WT = (jnp.where(iota_t == (fl(it1) - 1)[:, None], fl(tw1)[:, None],
+                    0.0)
+          + jnp.where(iota_t == fl(it1)[:, None], fl(tw2)[:, None],
+                      0.0)).astype(dtype)
+    return (WT[:, :, None] * WP[:, None, :]).reshape(B, ntemp * npress)
+
+
+def grid_signature(tables: Dict, meta: Dict):
+    """Hashable identity of the (p, T) LUT grid, for W4 sharing."""
+    return (meta["npress"], meta["ntemp"], meta["log_pressure1"],
+            meta["d_log_pressure"], meta["d_temperature"],
+            tuple(np.asarray(tables["temperature1"]).tolist()))
+
+
+def calc_optical_depth(tables: Dict, meta: Dict, pressure_hl,
+                       temperature_fl, gas_vmr, pt_w=None):
+    """radiation_ecckd.F90:457-658 calc_optical_depth_ckd_model.
+
+    gas_vmr: dict name → (ncol, nlev) volume mixing ratio ("composite"
+    needs no entry).  pt_w: optional precomputed :func:`pt_onehot`
+    (grids must match — see grid_signature).
+    Returns (od (ncol,nlev,ng) [, rayleigh_od]).
+    """
+    dtype = pressure_hl.dtype
+    npress, ntemp = meta["npress"], meta["ntemp"]
+    global_multiplier = 1.0 / (GRAVITY * 0.001 * AIR_MOLAR_MASS)
+    ncol, nlev = temperature_fl.shape
+
     simple_multiplier = global_multiplier * (pressure_hl[:, 1:]
                                              - pressure_hl[:, :-1])
 
-    # flat (p,t) gather index into (ntemp*npress, ng) tables
-    def interp_pt(table_c):
-        """table_c numpy (ntemp, npress, ng) → interpolated
-        (ncol, nlev, ng)."""
-        flat = jnp.asarray(table_c, dtype).reshape(ntemp * npress, -1)
+    W4 = pt_onehot(tables, meta, pressure_hl, temperature_fl) \
+        if pt_w is None else pt_w
 
-        def at(it_1b, ip_1b):
-            idx = (it_1b - 1) * npress + (ip_1b - 1)
-            return jnp.take(flat, idx, axis=0)
+    def mxu(W, T):
+        """(B, R) @ (R, G) at HIGH (3-pass bf16) precision — relative
+        error ~5e-7, far below the golden/equivalence thresholds, at
+        half the pass count of HIGHEST."""
+        return jax.lax.dot_general(
+            W, T, (((1,), (0,)), ((), ())),
+            preferred_element_type=W.dtype,
+            precision=jax.lax.Precision.HIGH)
 
-        return (tw1[..., None] * (pw1[..., None] * at(it1, ip1)
-                                  + pw2[..., None] * at(it1, ip1 + 1))
-                + tw2[..., None] * (pw1[..., None] * at(it1 + 1, ip1)
-                                    + pw2[..., None] * at(it1 + 1,
-                                                          ip1 + 1)))
+    simple, lut = [], []
+    for g in meta["gases"]:
+        (lut if g["conc_dependence"] == CONC_LUT else simple).append(g)
 
     od = 0.0
-    for g in meta["gases"]:
+    if simple:
+        T_all = np.concatenate(
+            [np.asarray(tables[f"{g['name']}_molar_abs"],
+                        np.float64).reshape(ntemp * npress, -1)
+             for g in simple], axis=1)
+        ng = T_all.shape[1] // len(simple)
+        K_all = mxu(W4, jnp.asarray(T_all, dtype)).reshape(
+            ncol, nlev, len(simple), ng)
+        for i, g in enumerate(simple):
+            gname = g["name"]
+            code = g["conc_dependence"]
+            k = K_all[:, :, i, :]
+            if code == CONC_LINEAR:
+                mult = simple_multiplier * gas_vmr[gname]
+            elif code == CONC_RELATIVE_LINEAR:
+                mult = simple_multiplier * (gas_vmr[gname]
+                                            - g["reference_mole_frac"])
+            elif code == CONC_NONE:
+                mult = simple_multiplier
+            else:
+                raise ValueError(f"unknown conc dependence {code}")
+            od = od + mult[..., None] * k
+
+    for g in lut:
         gname = g["name"]
-        code = g["conc_dependence"]
-        if code == CONC_LINEAR:
-            k = interp_pt(tables[f"{gname}_molar_abs"])
-            mult = simple_multiplier * gas_vmr[gname]
-            od = od + mult[..., None] * k
-        elif code == CONC_RELATIVE_LINEAR:
-            k = interp_pt(tables[f"{gname}_molar_abs"])
-            mult = simple_multiplier * (gas_vmr[gname]
-                                        - g["reference_mole_frac"])
-            od = od + mult[..., None] * k
-        elif code == CONC_NONE:
-            k = interp_pt(tables[f"{gname}_molar_abs"])
-            od = od + simple_multiplier[..., None] * k
-        elif code == CONC_LUT:
-            nconc = g["n_mole_frac"]
-            log_conc = jnp.log(jnp.maximum(gas_vmr[gname],
-                                           np.exp(g["log_mole_frac1"])))
-            cindex1 = (log_conc - g["log_mole_frac1"]) \
-                / g["d_log_mole_frac"]
-            cindex1 = 1.0 + jnp.clip(cindex1, 0.0, nconc - 1.0001)
-            ic1 = cindex1.astype(jnp.int32)
-            cw2 = cindex1 - ic1
-            cw1 = 1.0 - cw2
-            # (nconc, ntemp, npress, ng) → flat (nconc*ntemp*npress, ng)
-            tab = jnp.asarray(tables[f"{gname}_molar_abs_conc"],
-                              dtype)
-            flat = tab.reshape(nconc * ntemp * npress, -1)
-
-            def at3(ic_1b, it_1b, ip_1b):
-                idx = ((ic_1b - 1) * ntemp + (it_1b - 1)) * npress \
-                    + (ip_1b - 1)
-                return jnp.take(flat, idx, axis=0)
-
-            k = (cw1[..., None] * (
-                    tw1[..., None] * (pw1[..., None] * at3(ic1, it1, ip1)
-                                      + pw2[..., None]
-                                      * at3(ic1, it1, ip1 + 1))
-                    + tw2[..., None] * (pw1[..., None]
-                                        * at3(ic1, it1 + 1, ip1)
-                                        + pw2[..., None]
-                                        * at3(ic1, it1 + 1, ip1 + 1)))
-                 + cw2[..., None] * (
-                    tw1[..., None] * (pw1[..., None]
-                                      * at3(ic1 + 1, it1, ip1)
-                                      + pw2[..., None]
-                                      * at3(ic1 + 1, it1, ip1 + 1))
-                    + tw2[..., None] * (pw1[..., None]
-                                        * at3(ic1 + 1, it1 + 1, ip1)
-                                        + pw2[..., None]
-                                        * at3(ic1 + 1, it1 + 1,
-                                              ip1 + 1))))
-            mult = simple_multiplier * gas_vmr[gname]
-            od = od + mult[..., None] * k
-        else:
-            raise ValueError(f"unknown conc dependence {code}")
+        nconc = g["n_mole_frac"]
+        log_conc = jnp.log(jnp.maximum(gas_vmr[gname],
+                                       np.exp(g["log_mole_frac1"])))
+        cindex1 = (log_conc - g["log_mole_frac1"]) \
+            / g["d_log_mole_frac"]
+        cindex1 = 1.0 + jnp.clip(cindex1, 0.0, nconc - 1.0001)
+        ic1 = cindex1.astype(jnp.int32)
+        cw2 = cindex1 - ic1
+        cw1 = 1.0 - cw2
+        # (nconc, ntemp, npress, ng): (t, p)-interpolate every conc
+        # level in one matmul, then contract the two conc corners with
+        # their linear weights
+        tab = np.asarray(tables[f"{gname}_molar_abs_conc"], np.float64)
+        ng = tab.shape[-1]
+        # rows (t*npress + p), columns (conc*ng + g)
+        T_c = jnp.asarray(
+            np.transpose(tab, (1, 2, 0, 3)).reshape(ntemp * npress,
+                                                    nconc * ng), dtype)
+        K_c = mxu(W4, T_c).reshape(ncol, nlev, nconc, ng)
+        iota_c = jnp.arange(nconc, dtype=jnp.int32)
+        WC = (jnp.where(iota_c == (ic1 - 1)[..., None], cw1[..., None],
+                        0.0)
+              + jnp.where(iota_c == ic1[..., None], cw2[..., None],
+                          0.0)).astype(dtype)
+        k = jnp.einsum("blc,blcg->blg", WC, K_c)
+        mult = simple_multiplier * gas_vmr[gname]
+        od = od + mult[..., None] * k
 
     od = jnp.maximum(od, 0.0)
     if meta["is_sw"]:
@@ -212,7 +244,11 @@ def calc_optical_depth(tables: Dict, meta: Dict, pressure_hl,
 
 def calc_planck(tables: Dict, meta: Dict, temperature):
     """radiation_ecckd.F90:900-932 calc_planck_function.
-    temperature (...,) → (..., ng)."""
+    temperature (...,) → (..., ng).
+
+    The 2-corner linear interpolation runs as a weighted one-hot
+    matmul over the (nplanck, ng) table — same MXU trick as
+    calc_optical_depth (TPU gathers of short rows are ~20x slower)."""
     pf = jnp.asarray(tables["planck_function"])      # (nT, ng)
     t1 = meta["temperature1_planck"]
     dt = meta["d_temperature_planck"]
@@ -222,9 +258,20 @@ def calc_planck(tables: Dict, meta: Dict, temperature):
     it1 = jnp.minimum(tindex1.astype(jnp.int32), nplanck - 1)
     tw2 = tindex1 - it1
     tw1 = 1.0 - tw2
-    interp = (tw1[..., None] * jnp.take(pf, it1 - 1, axis=0)
-              + tw2[..., None] * jnp.take(pf, jnp.minimum(it1, nplanck - 1),
-                                          axis=0))
+    it2 = jnp.minimum(it1, nplanck - 1)
+    shape = temperature.shape
+    B = int(np.prod(shape)) if shape else 1
+    flz = lambda x: x.reshape(B)
+    iota = jnp.arange(nplanck, dtype=jnp.int32)
+    W2 = (jnp.where(iota == (flz(it1) - 1)[:, None], flz(tw1)[:, None],
+                    0.0)
+          + jnp.where(iota == flz(it2)[:, None], flz(tw2)[:, None],
+                      0.0)).astype(pf.dtype)
+    interp = jax.lax.dot_general(
+        W2, pf, (((1,), (0,)), ((), ())),
+        preferred_element_type=pf.dtype,
+        precision=jax.lax.Precision.HIGHEST).reshape(
+            shape + (pf.shape[-1],))
     # below-table extrapolation: scale first entry linearly in T
     low = pf[0] * (temperature / t1)[..., None]
     return jnp.where((tindex0 >= 0.0)[..., None], interp, low)

@@ -110,23 +110,41 @@ def setup_general_cloud_optics(config: Config, data_dir: str,
 
 def _add_optical_properties(lut, water_path, effective_radius,
                             in_cloud, with_scattering=True):
-    """radiation_general_cloud_optics_data.F90 add_optical_properties."""
+    """radiation_general_cloud_optics_data.F90 add_optical_properties.
+
+    The 2-corner effective-radius interpolation of all three LUTs runs
+    as ONE weighted one-hot matmul over the stacked (nre, 3*nspec)
+    table — TPU row-gathers of short rows are ~20x slower than the
+    equivalent MXU contraction (see optics/ecckd.py)."""
+    import jax
+
     nre = lut["n_effective_radius"]
     re_index = jnp.clip(
         1.0 + (effective_radius - lut["effective_radius_0"])
         / lut["d_effective_radius"], 1.0, nre - 0.0001)
     ire = re_index.astype(jnp.int32)
-    w2 = (re_index - ire)[..., None]
+    w2 = re_index - ire
     w1 = 1.0 - w2
+    ire2 = jnp.minimum(ire, nre - 1)
     mass_ext = jnp.asarray(lut["mass_ext"]).T      # (nre, nspec)
     ssa = jnp.asarray(lut["ssa"]).T
     asym = jnp.asarray(lut["asymmetry"]).T
-    me = w1 * jnp.take(mass_ext, ire - 1, axis=0) \
-        + w2 * jnp.take(mass_ext, jnp.minimum(ire, nre - 1), axis=0)
-    sa = w1 * jnp.take(ssa, ire - 1, axis=0) \
-        + w2 * jnp.take(ssa, jnp.minimum(ire, nre - 1), axis=0)
-    ga = w1 * jnp.take(asym, ire - 1, axis=0) \
-        + w2 * jnp.take(asym, jnp.minimum(ire, nre - 1), axis=0)
+    nspec = mass_ext.shape[1]
+    T = jnp.concatenate([mass_ext, ssa, asym], axis=1)  # (nre, 3*nspec)
+    shape = ire.shape
+    B = int(np.prod(shape))
+    flz = lambda x: x.reshape(B)
+    iota = jnp.arange(nre, dtype=jnp.int32)
+    W = (jnp.where(iota == (flz(ire) - 1)[:, None], flz(w1)[:, None],
+                   0.0)
+         + jnp.where(iota == flz(ire2)[:, None], flz(w2)[:, None],
+                     0.0)).astype(T.dtype)
+    K = jax.lax.dot_general(
+        W, T, (((1,), (0,)), ((), ())), preferred_element_type=T.dtype,
+        precision=jax.lax.Precision.HIGHEST).reshape(shape + (3 * nspec,))
+    me = K[..., 0:nspec]
+    sa = K[..., nspec:2 * nspec]
+    ga = K[..., 2 * nspec:]
     od = jnp.where(in_cloud[..., None], water_path[..., None] * me, 0.0)
     if with_scattering:
         scat = od * sa
