@@ -166,8 +166,10 @@ def main():
     cols_per_sec = ncol / max(t_best - rtt, 1e-9)
     cols_per_sec_med = ncol / max(t_median - rtt, 1e-9)
 
-    def emit(smokes):
+    def emit(smokes, configs=None):
         result = dict(_result_base, tpu_smokes=smokes)
+        if configs is not None:
+            result["configs"] = configs
         print(json.dumps(result))
         return result
 
@@ -191,14 +193,14 @@ def main():
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
     # Device-path correctness every round (round-3 review item 8): run
-    # the two RUN_TPU_TESTS smokes (flagship f32 vs the dp reference at
-    # sp thresholds; SPARTACUS f32 vs the f64 self-regression) right
-    # here where the device is attached.  The metric line is printed
-    # BEFORE the smokes as well, so a cold-compile smoke overrun can
-    # never cost the round its headline number; a second identical line
-    # with the final smoke status follows.
+    # the RUN_TPU_TESTS smokes (flagship f32 vs the dp reference at sp
+    # thresholds; SPARTACUS f32 vs the f64 self-regression; fused
+    # Tripleclouds vs the scan path) right here where the device is
+    # attached.  The metric line is printed BEFORE the smokes and the
+    # per-config matrix, so an overrun can never cost the round its
+    # headline number; a final line with smoke status + configs follows.
     if os.environ.get("BENCH_SKIP_SMOKES", "0") not in ("", "0"):
-        emit("skipped")
+        emit("skipped", bench_configs())
         return
     emit("running")
     import subprocess
@@ -208,12 +210,42 @@ def main():
             [sys.executable, "-m", "pytest",
              "tests/test_tpu_smoke.py", "-q", "--no-header"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            env=env, capture_output=True, text=True, timeout=780)
+            env=env, capture_output=True, text=True, timeout=1500)
         smokes = "pass" if r.returncode == 0 else "FAIL"
         print(r.stdout[-1500:], file=sys.stderr)
     except Exception as e:
         smokes = f"error: {e}"
-    emit(smokes)
+    emit(smokes, bench_configs())
+
+
+def bench_configs():
+    """Per-config throughput matrix (round-4 review item 5): the
+    non-flagship solver/gas-model configurations measured with the
+    same fetch-a-scalar protocol, committed in BENCH_r*.json so
+    regressions are visible round over round.  Never fails the bench —
+    any per-config error is recorded as a string."""
+    if os.environ.get("BENCH_SKIP_MATRIX", "0") not in ("", "0"):
+        return None
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import io
+    from contextlib import redirect_stdout
+
+    import bench_matrix
+
+    out = []
+    for name in ("tripleclouds_rrtmg", "tripleclouds_ecckd",
+                 "ecckd_mcica", "spartacus_3d"):
+        try:
+            overrides, ncol, block = bench_matrix.CONFIGS[name]
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                bench_matrix.bench_one(name, overrides, ncol, block,
+                                       niter=6)
+            out.append(json.loads(buf.getvalue().strip().splitlines()[-1]))
+        except Exception as e:                        # pragma: no cover
+            out.append({"config": name, "error": str(e)[:200]})
+    return out
 
 
 if __name__ == "__main__":
