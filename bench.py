@@ -199,8 +199,14 @@ def main():
     # attached.  The metric line is printed BEFORE the smokes and the
     # per-config matrix, so an overrun can never cost the round its
     # headline number; a final line with smoke status + configs follows.
+    def safe_configs():
+        try:
+            return bench_configs()
+        except Exception as e:                        # pragma: no cover
+            return [{"error": str(e)[:200]}]
+
     if os.environ.get("BENCH_SKIP_SMOKES", "0") not in ("", "0"):
-        emit("skipped", bench_configs())
+        emit("skipped", safe_configs())
         return
     emit("running")
     import subprocess
@@ -215,7 +221,8 @@ def main():
         print(r.stdout[-1500:], file=sys.stderr)
     except Exception as e:
         smokes = f"error: {e}"
-    emit(smokes, bench_configs())
+    emit(smokes)                 # headline + smokes, before the matrix
+    emit(smokes, safe_configs())
 
 
 def bench_configs():

@@ -63,6 +63,22 @@ def test_cli_report_and_plots(tmp_path):
         assert os.path.exists(f) and os.path.getsize(f) > 10000, f
 
 
+def test_plot_input_tool(tmp_path):
+    tool = os.path.join(REPO, "tools", "plot_input.py")
+    out = str(tmp_path / "inp.png")
+    r = subprocess.run(
+        [sys.executable, tool, golden.INPUT_FILE, "--out", out],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert os.path.getsize(out) > 10000
+    out2 = str(tmp_path / "col.png")
+    r = subprocess.run(
+        [sys.executable, tool, golden.INPUT_FILE, "--column", "20",
+         "--out", out2],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and os.path.getsize(out2) > 10000
+
+
 def test_cli_threshold_exit_code():
     r = subprocess.run(
         [sys.executable, TOOL, REF_NOAER, REF_DEFAULT,
