@@ -28,7 +28,11 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _col_block(ncolp):
-    return min(ncolp, 1024)
+    # largest power-of-two block that divides ncolp (grid coverage)
+    for cb in (2048, 1024, 512, 256, 128):
+        if ncolp % cb == 0:
+            return min(cb, ncolp)
+    return ncolp
 
 
 # packed scalar row indices

@@ -50,10 +50,16 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _col_block(ncolp):
-    # cb=1024 halves the number of grid column-blocks; the sweeps' ref
-    # sets then need ~17-33 MB of scoped VMEM, above the 16 MB default
-    # limit, so every pallas_call passes _VMEM_LIMIT (v5e has 128 MB)
-    return min(ncolp, 1024)
+    """Largest power-of-two column block <= 2048 that DIVIDES ncolp —
+    the grid is (ncolp // cb, nlev), so a non-divisor cb would silently
+    leave the tail columns unprocessed.  cb=2048 measured ~1% faster
+    than 1024 at the flagship shapes; the sweeps' ref sets then need
+    tens of MB of scoped VMEM, above the 16 MB default limit, so every
+    pallas_call passes _VMEM_LIMIT (v5e has 128 MB)."""
+    for cb in (2048, 1024, 512, 256, 128):
+        if ncolp % cb == 0:
+            return min(cb, ncolp)
+    return ncolp
 
 
 def band_expand_matrix(gcounts, dtype):
