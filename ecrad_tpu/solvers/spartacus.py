@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -256,6 +257,328 @@ def _level_chunk() -> int:
     working set stays VMEM-resident at chunk=1 and spills to HBM as the
     chunk grows.  Tunable via ECRAD_TPU_SPARTACUS_CHUNK."""
     return int(os.environ.get("ECRAD_TPU_SPARTACUS_CHUNK", "1"))
+
+
+class SwOpts(NamedTuple):
+    """Static (compile-time) SW sweep options shared by the lax.scan
+    path and the Pallas sweep kernels (solvers/pallas_spartacus.py)."""
+    mode: object                 # Entrapment
+    do_3d: bool
+    overhang_factor: float
+    cloud_fraction_threshold: float
+    max_cloud_od: float
+
+
+class LwOpts(NamedTuple):
+    multilayer: bool
+
+
+def _sw_up_core(carry, mats, cl5, u9b, v9b, msk, ent, opts: SwOpts):
+    """One SW upward adding step in plane form — the pure math of
+    radiation_spartacus_sw.F90:444-777, shared verbatim between the
+    lax.scan sweep and the Pallas sweep kernel (all per-column inputs
+    arrive broadcast-ready as (..., 1) planes).
+
+    carry: (alb [[p]], albd [[p]], alb_c p, albd_c p, xdif [p], xdir [p])
+    mats:  (R, T, Rd, Tdd, Tdir) as [[plane]]
+    cl5:   (rcl, tcl, rdcl, tddcl, tdircl) clear-sky scalar planes
+    u9b/v9b: 9 broadcast-ready (..., 1) overlap planes (k = 3*i + j)
+    msk:   (clr, clr_above, migrate, ntop) bool (..., 1) planes
+    ent:   (rf3, elp3, rfp3, invszp, opp, xld, xldir) broadcast-ready
+    Returns the new carry (plane lists)."""
+    alb, albd, alb_c, albd_c, xdif, xdir = carry
+    R, T, Rd, Tdd, Tdir = mats
+    rcl, tcl, rdcl, tddcl, tdircl = cl5
+    cm, above_clear, mm, ntop = msk
+    rf3, elp3, rfp3, invszp, opp, xld, xldir = ent
+    explicit = opts.mode in (Entrapment.EXPLICIT,
+                             Entrapment.EXPLICIT_NON_FRACTAL)
+    alb = [list(row) for row in alb]
+    albd = [list(row) for row in albd]
+    xdif, xdir = list(xdif), list(xdir)
+    u = [[u9b[NREG * i + j] for j in range(NREG)] for i in range(NREG)]
+    v = [[v9b[NREG * i + j] for j in range(NREG)] for i in range(NREG)]
+
+    # clear-sky scalar adding (radiation_spartacus_sw.F90:444-456)
+    inv_d = 1.0 / (1.0 - alb_c * rcl)
+    alb_c_new = rcl + tcl * tcl * alb_c * inv_d
+    albd_c_new = rdcl + (tdircl * albd_c + tddcl * alb_c) * tcl * inv_d
+
+    # layer adding: full matrix (radiation_spartacus_sw.F90:474-494)
+    denom = _peye_minus(pl_matmul(alb, R))
+    X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
+                                               pl_matmul(alb, T))))
+    srcm = _pmat_add(pl_matmul(albd, Tdir), pl_matmul(alb, Tdd))
+    Xd = _pmat_add(Rd, pl_matmul(T, pl_solve_mat(denom, srcm)))
+    # clear-layer scalar version (L458-473), region (0,0) only
+    a00, ad00 = alb[0][0], albd[0][0]
+    R00, T00 = R[0][0], T[0][0]
+    inv_s = 1.0 / (1.0 - a00 * R00)
+    s00 = R00 + T00 * T00 * a00 * inv_s
+    sd00 = Rd[0][0] + (Tdir[0][0] * ad00 + Tdd[0][0] * a00) \
+        * T00 * inv_s
+    X = _pmat_where(cm, _pmat_embed00(s00, X), X)
+    Xd = _pmat_where(cm, _pmat_embed00(sd00, Xd), Xd)
+
+    # --- step_migrations (radiation_spartacus_sw.F90:966-1046)
+    if explicit:
+        cf = 1.0 - rf3[0]
+        active_r = [cf < 1.0, cf > 0.0, cf > 0.0]
+        for r in range(NREG):
+            Rdg, Tdg = R[r][r], T[r][r]
+            Rddg, Tddg, Tdirg = Rd[r][r], Tdd[r][r], Tdir[r][r]
+            Adg, Addg = alb[r][r], albd[r][r]
+            ms = Tdg / (1.0 - Rdg * Adg)
+            xe = (1.0 - Rdg * Adg) ** (-1.5)
+            top_alb_dir = jnp.maximum(
+                1.0e-8, Rddg + ms * (Tddg * Adg + Tdirg * Addg))
+            xdir_new = jnp.maximum(0.0, xldir + (
+                (Tddg * Adg * xe + Tdirg * Addg * (xe - 1.0))
+                * (xdif[r] + xld)
+                + Tdirg * Addg * (xdir[r] + xldir))
+                * Tdg / top_alb_dir)
+            top_alb = jnp.maximum(1.0e-8, Rdg + ms * Tdg * Adg)
+            xdif_new = xld + xe * Adg * Tdg * Tdg \
+                * (xdif[r] + xld) / top_alb
+            act = active_r[r]
+            xdir_new = jnp.where(act, xdir_new, 0.0)
+            xdif_new = jnp.where(act, xdif_new, 0.0)
+            xdif[r] = jnp.where(mm, xdif_new, xdif[r])
+            xdir[r] = jnp.where(mm, xdir_new, xdir[r])
+
+    # --- overlap / entrapment mixing (radiation_spartacus_sw.F90:510-760)
+    full = lambda A: pl_matmul(pl_matmul(u, A), v)
+    fX, fXd = full(X), full(Xd)
+    both_clear = cm & above_clear
+
+    if opts.mode == Entrapment.MAXIMUM:
+        alb_new, albd_new = fX, fXd
+    elif opts.mode == Entrapment.ZERO:
+        def zero_mix(A):
+            colsum = [A[0][j] + A[1][j] + A[2][j]
+                      for j in range(NREG)]     # sum over rows
+            d = [sum(colsum[j] * v[j][i] for j in range(NREG))
+                 for i in range(NREG)]
+            z = jnp.zeros_like(d[0])
+            return [[d[i] if i == j else z for j in range(NREG)]
+                    for i in range(NREG)]
+        alb_new = _pmat_where(above_clear, fX, zero_mix(X))
+        albd_new = _pmat_where(above_clear, fXd, zero_mix(Xd))
+    else:
+        zpl = jnp.zeros_like(X[0][0])
+        offd = lambda A: [[zpl if i == j else A[i][j]
+                           for j in range(NREG)] for i in range(NREG)]
+        base, based = full(offd(X)), full(offd(Xd))
+        if opts.mode == Entrapment.EDGE_ONLY or not opts.do_3d:
+            def dmix(A):
+                d = [sum(A[j][j] * v[j][i] for j in range(NREG))
+                     for i in range(NREG)]
+                return [[d[i] if i == j else zpl
+                         for j in range(NREG)] for i in range(NREG)]
+            alb_new = _pmat_add(base, dmix(X))
+            albd_new = _pmat_add(based, dmix(Xd))
+        else:
+            # Explicit entrapment (radiation_spartacus_sw.F90:586-760)
+            acc = [[zpl] * NREG for _ in range(NREG)]
+            accd = [[zpl] * NREG for _ in range(NREG)]
+            for j2 in range(NREG):
+                ts = 1.0 - (1.0 - opts.overhang_factor) * opp \
+                    * jnp.minimum(rf3[j2], rfp3[j2]) \
+                    / jnp.maximum(opts.cloud_fraction_threshold,
+                                  rf3[j2])
+                ts = jnp.where(ntop, ts, 0.0)
+
+                def trd_entry(el_e, iup):
+                    return ts * el_e \
+                        / jnp.maximum(u9b[NREG * iup + j2], 1.0e-5)
+                tr01 = trd_entry(elp3[0], 0)
+                tr10 = trd_entry(elp3[0], 1)
+                tr12 = trd_entry(elp3[1], 1)
+                tr21 = trd_entry(elp3[1], 2)
+
+                def entrap(xmig):
+                    xj = xmig[j2]
+                    if opts.mode == Entrapment.EXPLICIT:
+                        ff = 1.0 / jnp.sqrt(jnp.maximum(
+                            1.0, 2.5 * xj * invszp))
+                    else:
+                        ff = 1.0
+                    e10 = tr01 * xj * ff
+                    e01 = tr10 * xj * ff
+                    e21 = tr12 * xj * ff
+                    e12 = tr21 * xj * ff
+                    e00 = -e10
+                    e11 = -e01 - e21
+                    max_entr = -jnp.minimum(e00, e11)
+                    scale = jnp.where(
+                        max_entr > opts.max_cloud_od,
+                        opts.max_cloud_od
+                        / jnp.maximum(max_entr, 1e-300), 1.0)
+                    return (e10 * scale, e01 * scale, e21 * scale,
+                            e12 * scale)
+
+                Pm = pl_fast_expm_exchange_3(*entrap(xdif))
+                Pmd = pl_fast_expm_exchange_3(*entrap(xdir))
+                for i in range(NREG):
+                    for j in range(NREG):
+                        vxj = v9b[NREG * j2 + j]
+                        acc[i][j] = acc[i][j] \
+                            + Pm[i][j] * vxj * X[j2][j2]
+                        accd[i][j] = accd[i][j] \
+                            + Pmd[i][j] * vxj * Xd[j2][j2]
+            alb_new = _pmat_add(base, acc)
+            albd_new = _pmat_add(based, accd)
+        alb_new = _pmat_where(above_clear, fX, alb_new)
+        albd_new = _pmat_where(above_clear, fXd, albd_new)
+    alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X),
+                          alb_new)
+    albd_new = _pmat_where(both_clear, _pmat_embed00(Xd[0][0], Xd),
+                           albd_new)
+
+    # migrate x through the interface (radiation_spartacus_sw.F90:758-777)
+    if explicit:
+        active_j2 = [jnp.ones_like(cm), ~cm, ~cm]
+
+        def xm(x):
+            return [sum(jnp.where(active_j2[j], x[j], 0.0)
+                        * v9b[NREG * j + i]
+                        for j in range(NREG)) for i in range(NREG)]
+
+        nskip = ~both_clear
+        xdif = _pvec_where(nskip, xm(xdif), xdif)
+        xdir = _pvec_where(nskip, xm(xdir), xdir)
+
+    return (alb_new, albd_new, alb_c_new, albd_c_new, xdif, xdir)
+
+
+def _sw_dn_core(carry, mats, cl5, below, v9b, msk):
+    """One SW downward step (radiation_spartacus_sw.F90:779-957).
+
+    carry: (fdn [p], ddn [p], fdn_c p, ddn_c p)
+    mats: (R, T, Rd, Tdd, Tdir) [[plane]]; cl5 clear-sky planes
+    below: (alb_n [[p]], albd_n [[p]], alb_cn p, albd_cn p)
+    v9b: 9 broadcast-ready planes of the interface BELOW
+    msk: (clr, clr_below) bool broadcast-ready
+    Returns (new_carry, (fup_sum, fdn_sum, ddn_sum, fup_c, fdn_c2,
+    ddn_c2))."""
+    fdn, ddn, fdn_c, ddn_c = carry
+    R, T, Rd, Tdd, Tdir = mats
+    rcl, tcl, rdcl, tddcl, tdircl = cl5
+    alb_n, albd_n, alb_cn, albd_cn = below
+    cm, clr_below = msk
+    fdn, ddn = list(fdn), list(ddn)
+    src = pl_matvec(Tdd, ddn)
+    ddn_above = pl_matvec(Tdir, ddn)
+    # clear-sky scalars
+    src_c = tddcl * ddn_c
+    ddn_c2 = tdircl * ddn_c
+    fdn_c2 = (tcl * fdn_c + rcl * albd_cn * ddn_c2 + src_c) \
+        / (1.0 - rcl * alb_cn)
+    fup_c = albd_cn * ddn_c2 + alb_cn * fdn_c2
+    # matrix branch
+    denom = _peye_minus(pl_matmul(R, alb_n))
+    tsrc = pl_matvec(albd_n, ddn_above)
+    rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn), pl_matvec(R, tsrc)),
+                    src)
+    fdn_above = pl_solve_vec(denom, rhs)
+    fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), tsrc)
+    # clear-layer scalar branch, region 0
+    f0 = (T[0][0] * fdn[0]
+          + R[0][0] * albd_n[0][0] * ddn_above[0]
+          + src[0]) / (1.0 - R[0][0] * alb_n[0][0])
+    u0 = albd_n[0][0] * ddn_above[0] + alb_n[0][0] * f0
+    fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above), fdn_above)
+    fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above), fup_above)
+    # through the interface below
+    skip = cm & clr_below
+    mix = lambda a: [sum(v9b[NREG * i + j] * a[j]
+                         for j in range(NREG)) for i in range(NREG)]
+    fdn_next = _pvec_where(skip, fdn_above, mix(fdn_above))
+    ddn_next = _pvec_where(skip, ddn_above, mix(ddn_above))
+    return (fdn_next, ddn_next, fdn_c2, ddn_c2), \
+        (sum(fup_above), sum(fdn_above), sum(ddn_above),
+         fup_c, fdn_c2, ddn_c2)
+
+
+def _lw_up_core(carry, mats, cl4, u9b, v9b, msk, opts: LwOpts):
+    """One LW upward step (radiation_spartacus_lw.F90:425-508).
+
+    carry: (alb [[p]], src [p], alb_c p, src_c p)
+    mats: (R, T, SU [p], SD [p]); cl4 = (rcl, tcl, sucl, sdcl)
+    Returns the new carry."""
+    alb, src, alb_c, src_c = carry
+    R, T, SU, SD = mats
+    rcl, tcl, sucl, sdcl = cl4
+    cm, above_clear = msk
+    alb = [list(row) for row in alb]
+    src = list(src)
+    u = [[u9b[NREG * i + j] for j in range(NREG)] for i in range(NREG)]
+    v = [[v9b[NREG * i + j] for j in range(NREG)] for i in range(NREG)]
+    # clear-sky scalar (radiation_spartacus_lw.F90:425-437)
+    inv_d = 1.0 / (1.0 - alb_c * rcl)
+    alb_c_new = rcl + tcl * tcl * alb_c * inv_d
+    src_c_new = sucl + tcl * (src_c + alb_c * sdcl) * inv_d
+    # matrix branch (L452-467)
+    denom = _peye_minus(pl_matmul(alb, R))
+    X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
+                                               pl_matmul(alb, T))))
+    rhs = _pvec_add(src, pl_matvec(alb, SD))
+    S = _pvec_add(SU, pl_matvec(T, pl_solve_vec(denom, rhs)))
+    # clear-layer scalar branch (L438-451), region 0
+    a00 = alb[0][0]
+    inv_s = 1.0 / (1.0 - a00 * R[0][0])
+    x00 = R[0][0] + T[0][0] ** 2 * a00 * inv_s
+    s0 = SU[0] + T[0][0] * (src[0] + a00 * SD[0]) * inv_s
+    X = _pmat_where(cm, _pmat_embed00(x00, X), X)
+    S = _pvec_where(cm, _pvec_embed0(s0, S), S)
+    # mixing (L485-508)
+    both_clear = cm & above_clear
+    src_mixed = [sum(u[i][j] * S[j] for j in range(NREG))
+                 for i in range(NREG)]
+    src_new = _pvec_where(both_clear, _pvec_embed0(S[0], S), src_mixed)
+    if opts.multilayer:
+        mixed = pl_matmul(pl_matmul(u, X), v)
+    else:
+        d = [sum(X[j][j] * v[j][i] for j in range(NREG))
+             for i in range(NREG)]
+        z = jnp.zeros_like(d[0])
+        mixed = [[d[i] if i == j else z for j in range(NREG)]
+                 for i in range(NREG)]
+    alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X), mixed)
+    return (alb_new, src_new, alb_c_new, src_c_new)
+
+
+def _lw_dn_core(carry, mats, cl4, below, v9b, msk):
+    """One LW downward step (radiation_spartacus_lw.F90:509-595).
+
+    carry: (fdn [p], fdn_c p); below: (src_n [p], alb_n [[p]],
+    src_cn p, alb_cn p).  Returns (new_carry, (fup_sum, fdn_sum,
+    fup_c, fdn_c2))."""
+    fdn, fdn_c = carry
+    R, T, SU, SD = mats
+    rcl, tcl, sucl, sdcl = cl4
+    src_n, alb_n, src_cn, alb_cn = below
+    cm, clr_below = msk
+    fdn = list(fdn)
+    fdn_c2 = (tcl * fdn_c + rcl * src_cn + sdcl) \
+        / (1.0 - rcl * alb_cn)
+    fup_c = src_cn + alb_cn * fdn_c2
+    denom = _peye_minus(pl_matmul(R, alb_n))
+    rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn),
+                              pl_matvec(R, src_n)), SD)
+    fdn_above = pl_solve_vec(denom, rhs)
+    fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), src_n)
+    f0 = (T[0][0] * fdn[0] + R[0][0] * src_n[0] + SD[0]) \
+        / (1.0 - R[0][0] * alb_n[0][0])
+    u0 = src_n[0] + alb_n[0][0] * f0
+    fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above), fdn_above)
+    fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above), fup_above)
+    skip = cm & clr_below
+    mix = [sum(v9b[NREG * i + j] * fdn_above[j]
+               for j in range(NREG)) for i in range(NREG)]
+    fdn_next = _pvec_where(skip, fdn_above, mix)
+    return (fdn_next, fdn_c2), \
+        (sum(fup_above), sum(fdn_above), fup_c, fdn_c2)
 
 
 def _map_levels(fn, xs, nlev, chunk=None):
@@ -498,182 +821,37 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
     x_lay_dir_all = P["layer_depth"] * 0.5 * jnp.sqrt(
         tan_sza[:, None] ** 2 + TAN_DIFFUSE_ANGLE_3D ** 2)
 
+    sw_opts = SwOpts(mode=mode, do_3d=config.do_3d_effects,
+                     overhang_factor=config.overhang_factor,
+                     cloud_fraction_threshold=(
+                         config.cloud_fraction_threshold),
+                     max_cloud_od=config.max_cloud_od)
+
     def up_step(carry, xs):
+        """Thin scan wrapper over _sw_up_core: unpack the stacked
+        planes, broadcast the per-column scalars, emit the ENTRY carry
+        as this level's ys (albedo of the atmosphere below)."""
         alb, albd, alb_c, albd_c, xdif, xdir = carry
         (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl, u9, v9,
          clr, clr_above, migrate, rf3, elp3, rfp3, invszp, opp, ntop,
          xld, xldir) = xs
-        R, T = _punstack(R9), _punstack(T9)
-        Rd, Tdd, Tdir = (_punstack(Rd9), _punstack(Tdd9),
-                         _punstack(Tdir9))
-        alb = [list(row) for row in alb]
-        albd = [list(row) for row in albd]
-        xdif, xdir = list(xdif), list(xdir)
-        # u/v as (ncol, 1) planes for matrix ops; raw (ncol,) via u9/v9
-        u = [[u9[NREG * i + j][:, None] for j in range(NREG)]
-             for i in range(NREG)]
-        v = [[v9[NREG * i + j][:, None] for j in range(NREG)]
-             for i in range(NREG)]
-        out_albs = (_pstack(alb), _pstack(albd), alb_c, albd_c)
-
-        # clear-sky scalar adding (radiation_spartacus_sw.F90:444-456)
-        inv_d = 1.0 / (1.0 - alb_c * rcl)
-        alb_c_new = rcl + tcl * tcl * alb_c * inv_d
-        albd_c_new = rdcl + (tdircl * albd_c + tddcl * alb_c) * tcl * inv_d
-
-        # layer adding: full matrix (radiation_spartacus_sw.F90:474-494)
-        denom = _peye_minus(pl_matmul(alb, R))
-        X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
-                                                   pl_matmul(alb, T))))
-        srcm = _pmat_add(pl_matmul(albd, Tdir), pl_matmul(alb, Tdd))
-        Xd = _pmat_add(Rd, pl_matmul(T, pl_solve_mat(denom, srcm)))
-        # clear-layer scalar version (L458-473), region (0,0) only
-        a00, ad00 = alb[0][0], albd[0][0]
-        R00, T00 = R[0][0], T[0][0]
-        inv_s = 1.0 / (1.0 - a00 * R00)
-        s00 = R00 + T00 * T00 * a00 * inv_s
-        sd00 = Rd[0][0] + (Tdir[0][0] * ad00 + Tdd[0][0] * a00) \
-            * T00 * inv_s
-        cm = clr[:, None]
-        X = _pmat_where(cm, _pmat_embed00(s00, X), X)
-        Xd = _pmat_where(cm, _pmat_embed00(sd00, Xd), Xd)
-
-        # --- step_migrations (radiation_spartacus_sw.F90:966-1046)
-        if explicit:
-            cf = 1.0 - rf3[0]                     # (ncol,)
-            xldb = xld[:, None]
-            xldirb = xldir[:, None]
-            mm = migrate[:, None]
-            active_r = [cf < 1.0, cf > 0.0, cf > 0.0]
-            for r in range(NREG):
-                Rdg, Tdg = R[r][r], T[r][r]
-                Rddg, Tddg, Tdirg = Rd[r][r], Tdd[r][r], Tdir[r][r]
-                Adg, Addg = alb[r][r], albd[r][r]
-                ms = Tdg / (1.0 - Rdg * Adg)
-                xe = (1.0 - Rdg * Adg) ** (-1.5)
-                top_alb_dir = jnp.maximum(
-                    1.0e-8, Rddg + ms * (Tddg * Adg + Tdirg * Addg))
-                xdir_new = jnp.maximum(0.0, xldirb + (
-                    (Tddg * Adg * xe + Tdirg * Addg * (xe - 1.0))
-                    * (xdif[r] + xldb)
-                    + Tdirg * Addg * (xdir[r] + xldirb))
-                    * Tdg / top_alb_dir)
-                top_alb = jnp.maximum(1.0e-8, Rdg + ms * Tdg * Adg)
-                xdif_new = xldb + xe * Adg * Tdg * Tdg \
-                    * (xdif[r] + xldb) / top_alb
-                act = active_r[r][:, None]
-                xdir_new = jnp.where(act, xdir_new, 0.0)
-                xdif_new = jnp.where(act, xdif_new, 0.0)
-                xdif[r] = jnp.where(mm, xdif_new, xdif[r])
-                xdir[r] = jnp.where(mm, xdir_new, xdir[r])
-
-        # --- overlap / entrapment mixing (radiation_spartacus_sw.F90:510-760)
-        full = lambda A: pl_matmul(pl_matmul(u, A), v)
-        fX, fXd = full(X), full(Xd)
-        both_clear = (clr & clr_above)[:, None]
-        above_clear = clr_above[:, None]
-
-        if mode == Entrapment.MAXIMUM:
-            alb_new, albd_new = fX, fXd
-        elif mode == Entrapment.ZERO:
-            def zero_mix(A):
-                colsum = [A[0][j] + A[1][j] + A[2][j]
-                          for j in range(NREG)]     # sum over rows
-                d = [sum(colsum[j] * v[j][i] for j in range(NREG))
-                     for i in range(NREG)]
-                z = jnp.zeros_like(d[0])
-                return [[d[i] if i == j else z for j in range(NREG)]
-                        for i in range(NREG)]
-            alb_new = _pmat_where(above_clear, fX, zero_mix(X))
-            albd_new = _pmat_where(above_clear, fXd, zero_mix(Xd))
-        else:
-            zpl = jnp.zeros_like(X[0][0])
-            offd = lambda A: [[zpl if i == j else A[i][j]
-                               for j in range(NREG)] for i in range(NREG)]
-            base, based = full(offd(X)), full(offd(Xd))
-            if mode == Entrapment.EDGE_ONLY or not config.do_3d_effects:
-                def dmix(A):
-                    d = [sum(A[j][j] * v[j][i] for j in range(NREG))
-                         for i in range(NREG)]
-                    return [[d[i] if i == j else zpl
-                             for j in range(NREG)] for i in range(NREG)]
-                alb_new = _pmat_add(base, dmix(X))
-                albd_new = _pmat_add(based, dmix(Xd))
-            else:
-                # Explicit entrapment (radiation_spartacus_sw.F90:586-760)
-                acc = [[zpl] * NREG for _ in range(NREG)]
-                accd = [[zpl] * NREG for _ in range(NREG)]
-                for j2 in range(NREG):
-                    ts = 1.0 - (1.0 - config.overhang_factor) * opp \
-                        * jnp.minimum(rf3[j2], rfp3[j2]) \
-                        / jnp.maximum(config.cloud_fraction_threshold,
-                                      rf3[j2])
-                    ts = jnp.where(ntop, ts, 0.0)
-
-                    def trd_entry(el_e, iup):
-                        return ts * el_e \
-                            / jnp.maximum(u9[NREG * iup + j2], 1.0e-5)
-                    tr01 = trd_entry(elp3[0], 0)
-                    tr10 = trd_entry(elp3[0], 1)
-                    tr12 = trd_entry(elp3[1], 1)
-                    tr21 = trd_entry(elp3[1], 2)
-
-                    def entrap(xmig):
-                        xj = xmig[j2]                 # (ncol, ng)
-                        if mode == Entrapment.EXPLICIT:
-                            ff = 1.0 / jnp.sqrt(jnp.maximum(
-                                1.0, 2.5 * xj * invszp[:, None]))
-                        else:
-                            ff = 1.0
-                        e10 = tr01[:, None] * xj * ff
-                        e01 = tr10[:, None] * xj * ff
-                        e21 = tr12[:, None] * xj * ff
-                        e12 = tr21[:, None] * xj * ff
-                        e00 = -e10
-                        e11 = -e01 - e21
-                        max_entr = -jnp.minimum(e00, e11)
-                        scale = jnp.where(
-                            max_entr > config.max_cloud_od,
-                            config.max_cloud_od
-                            / jnp.maximum(max_entr, 1e-300), 1.0)
-                        return (e10 * scale, e01 * scale, e21 * scale,
-                                e12 * scale)
-
-                    Pm = pl_fast_expm_exchange_3(*entrap(xdif))
-                    Pmd = pl_fast_expm_exchange_3(*entrap(xdir))
-                    for i in range(NREG):
-                        for j in range(NREG):
-                            vxj = v9[NREG * j2 + j][:, None]
-                            acc[i][j] = acc[i][j] \
-                                + Pm[i][j] * vxj * X[j2][j2]
-                            accd[i][j] = accd[i][j] \
-                                + Pmd[i][j] * vxj * Xd[j2][j2]
-                alb_new = _pmat_add(base, acc)
-                albd_new = _pmat_add(based, accd)
-            alb_new = _pmat_where(above_clear, fX, alb_new)
-            albd_new = _pmat_where(above_clear, fXd, albd_new)
-        alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X),
-                              alb_new)
-        albd_new = _pmat_where(both_clear, _pmat_embed00(Xd[0][0], Xd),
-                               albd_new)
-
-        # migrate x through the interface (radiation_spartacus_sw.F90:758-777)
-        if explicit:
-            ones_c = jnp.ones_like(clr)
-            active_j2 = [ones_c, ~clr, ~clr]          # (ncol,) bool
-
-            def xm(x):
-                return [sum(jnp.where(active_j2[j][:, None], x[j], 0.0)
-                            * v9[NREG * j + i][:, None]
-                            for j in range(NREG)) for i in range(NREG)]
-
-            nskip = ~(clr & clr_above)[:, None]
-            xdif = _pvec_where(nskip, xm(xdif), xdif)
-            xdir = _pvec_where(nskip, xm(xdir), xdir)
-
+        b = lambda x: x[:, None]
+        mats = tuple(_punstack(x) for x in (R9, T9, Rd9, Tdd9, Tdir9))
+        u9b = [b(u9[k]) for k in range(NREG * NREG)]
+        v9b = [b(v9[k]) for k in range(NREG * NREG)]
+        msk = (b(clr), b(clr_above), b(migrate), b(ntop))
+        ent = ([b(rf3[r]) for r in range(NREG)],
+               [b(elp3[r]) for r in range(NREG)],
+               [b(rfp3[r]) for r in range(NREG)],
+               b(invszp), b(opp), b(xld), b(xldir))
+        out_albs = (_pstack([list(r) for r in alb]),
+                    _pstack([list(r) for r in albd]), alb_c, albd_c)
+        alb_n, albd_n, alb_c_n, albd_c_n, xdif_n, xdir_n = _sw_up_core(
+            (alb, albd, alb_c, albd_c, xdif, xdir), mats,
+            (rcl, tcl, rdcl, tddcl, tdircl), u9b, v9b, msk, ent, sw_opts)
         tup = lambda A: tuple(tuple(row) for row in A)
-        return (tup(alb_new), tup(albd_new), alb_c_new, albd_c_new,
-                tuple(xdif), tuple(xdir)), out_albs
+        return (tup(alb_n), tup(albd_n), alb_c_n, albd_c_n,
+                tuple(xdif_n), tuple(xdir_n)), out_albs
 
     zcg = jnp.zeros((ncol, ng), dtype)
     bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
@@ -709,45 +887,16 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
     def dn_step(carry, xs):
         fdn, ddn, fdn_c, ddn_c = carry
         (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl,
-         alb_n9, albd_n9, alb_cn, albd_cn, v9b, clr, clr_below) = xs
-        R, T = _punstack(R9), _punstack(T9)
-        Tdd, Tdir = _punstack(Tdd9), _punstack(Tdir9)
-        alb_n, albd_n = _punstack(alb_n9), _punstack(albd_n9)
-        fdn, ddn = list(fdn), list(ddn)
-        src = pl_matvec(Tdd, ddn)
-        ddn_above = pl_matvec(Tdir, ddn)
-        # clear-sky scalars
-        src_c = tddcl * ddn_c
-        ddn_c2 = tdircl * ddn_c
-        fdn_c2 = (tcl * fdn_c + rcl * albd_cn * ddn_c2 + src_c) \
-            / (1.0 - rcl * alb_cn)
-        fup_c = albd_cn * ddn_c2 + alb_cn * fdn_c2
-        # matrix branch
-        denom = _peye_minus(pl_matmul(R, alb_n))
-        tsrc = pl_matvec(albd_n, ddn_above)
-        rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn), pl_matvec(R, tsrc)),
-                        src)
-        fdn_above = pl_solve_vec(denom, rhs)
-        fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), tsrc)
-        # clear-layer scalar branch, region 0
-        f0 = (T[0][0] * fdn[0]
-              + R[0][0] * albd_n[0][0] * ddn_above[0]
-              + src[0]) / (1.0 - R[0][0] * alb_n[0][0])
-        u0 = albd_n[0][0] * ddn_above[0] + alb_n[0][0] * f0
-        cm = clr[:, None]
-        fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above),
-                                fdn_above)
-        fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above),
-                                fup_above)
-        # through the interface below
-        skip = (clr & clr_below)[:, None]
-        mix = lambda a: [sum(v9b[NREG * i + j][:, None] * a[j]
-                             for j in range(NREG)) for i in range(NREG)]
-        fdn_next = _pvec_where(skip, fdn_above, mix(fdn_above))
-        ddn_next = _pvec_where(skip, ddn_above, mix(ddn_above))
-        return (tuple(fdn_next), tuple(ddn_next), fdn_c2, ddn_c2), \
-            (sum(fup_above), sum(fdn_above), sum(ddn_above),
-             fup_c, fdn_c2, ddn_c2)
+         alb_n9, albd_n9, alb_cn, albd_cn, v9b_, clr, clr_below) = xs
+        b = lambda x: x[:, None]
+        mats = tuple(_punstack(x) for x in (R9, T9, Rd9, Tdd9, Tdir9))
+        below = (_punstack(alb_n9), _punstack(albd_n9), alb_cn, albd_cn)
+        v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
+        (fdn_n, ddn_n, fdn_c2, ddn_c2), ys = _sw_dn_core(
+            (fdn, ddn, fdn_c, ddn_c), mats,
+            (rcl, tcl, rdcl, tddcl, tdircl), below, v9b,
+            (b(clr), b(clr_below)))
+        return (tuple(fdn_n), tuple(ddn_n), fdn_c2, ddn_c2), ys
 
     carry_dn0 = ((zcg,) * NREG, ddn0, zcg, bc(incoming_sw))
     xs_dn = (Rs, Ts, Rds, Tdds, Tdirs,
@@ -990,57 +1139,25 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
          jnp.ones((ncol, 1), bool)], axis=1)
     multilayer = config.do_3d_lw_multilayer_effects
 
+    lw_opts = LwOpts(multilayer=multilayer)
+
     def up_step(carry, xs):
         alb, src, alb_c, src_c = carry
         (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, u9, v9, clr,
          clr_above) = xs
-        R, T = _punstack(R9), _punstack(T9)
-        SU = [SU3[r] for r in range(NREG)]
-        SD = [SD3[r] for r in range(NREG)]
-        alb = [list(row) for row in alb]
-        src = list(src)
-        u = [[u9[NREG * i + j][:, None] for j in range(NREG)]
-             for i in range(NREG)]
-        v = [[v9[NREG * i + j][:, None] for j in range(NREG)]
-             for i in range(NREG)]
-        out = (_pstack(alb), _pstack(src), alb_c, src_c)
-        # clear-sky scalar (radiation_spartacus_lw.F90:425-437)
-        inv_d = 1.0 / (1.0 - alb_c * rcl)
-        alb_c_new = rcl + tcl * tcl * alb_c * inv_d
-        src_c_new = sucl + tcl * (src_c + alb_c * sdcl) * inv_d
-        # matrix branch (L452-467); reduces exactly to the reference's
-        # per-region diagonal branch (L468-484) when all inputs diagonal
-        denom = _peye_minus(pl_matmul(alb, R))
-        X = _pmat_add(R, pl_matmul(T, pl_solve_mat(denom,
-                                                   pl_matmul(alb, T))))
-        rhs = _pvec_add(src, pl_matvec(alb, SD))
-        S = _pvec_add(SU, pl_matvec(T, pl_solve_vec(denom, rhs)))
-        # clear-layer scalar branch (L438-451), region 0
-        a00 = alb[0][0]
-        inv_s = 1.0 / (1.0 - a00 * R[0][0])
-        x00 = R[0][0] + T[0][0] ** 2 * a00 * inv_s
-        s0 = SU[0] + T[0][0] * (src[0] + a00 * SD[0]) * inv_s
-        cm = clr[:, None]
-        X = _pmat_where(cm, _pmat_embed00(x00, X), X)
-        S = _pvec_where(cm, _pvec_embed0(s0, S), S)
-        # mixing (L485-508)
-        both_clear = (clr & clr_above)[:, None]
-        src_mixed = [sum(u[i][j] * S[j] for j in range(NREG))
-                     for i in range(NREG)]
-        src_new = _pvec_where(both_clear, _pvec_embed0(S[0], S),
-                              src_mixed)
-        if multilayer:
-            mixed = pl_matmul(pl_matmul(u, X), v)
-        else:
-            d = [sum(X[j][j] * v[j][i] for j in range(NREG))
-                 for i in range(NREG)]
-            z = jnp.zeros_like(d[0])
-            mixed = [[d[i] if i == j else z for j in range(NREG)]
-                     for i in range(NREG)]
-        alb_new = _pmat_where(both_clear, _pmat_embed00(X[0][0], X),
-                              mixed)
+        b = lambda x: x[:, None]
+        out = (_pstack([list(r) for r in alb]), _pstack(list(src)),
+               alb_c, src_c)
+        mats = (_punstack(R9), _punstack(T9),
+                [SU3[r] for r in range(NREG)],
+                [SD3[r] for r in range(NREG)])
+        u9b = [b(u9[k]) for k in range(NREG * NREG)]
+        v9b = [b(v9[k]) for k in range(NREG * NREG)]
+        alb_n, src_n, alb_c_n, src_c_n = _lw_up_core(
+            (alb, src, alb_c, src_c), mats, (rcl, tcl, sucl, sdcl),
+            u9b, v9b, (b(clr), b(clr_above)), lw_opts)
         tup = lambda A: tuple(tuple(row) for row in A)
-        return (tup(alb_new), tuple(src_new), alb_c_new, src_c_new), out
+        return (tup(alb_n), tuple(src_n), alb_c_n, src_c_n), out
 
     zcg = jnp.zeros((ncol, ng), dtype)
     bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
@@ -1060,34 +1177,18 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
     def dn_step(carry, xs):
         fdn, fdn_c = carry
         (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, src_n3, alb_n9, src_cn,
-         alb_cn, v9b, clr, clr_below) = xs
-        R, T = _punstack(R9), _punstack(T9)
-        SD = [SD3[r] for r in range(NREG)]
-        alb_n = _punstack(alb_n9)
-        src_n = [src_n3[r] for r in range(NREG)]
-        fdn = list(fdn)
-        fdn_c2 = (tcl * fdn_c + rcl * src_cn + sdcl) \
-            / (1.0 - rcl * alb_cn)
-        fup_c = src_cn + alb_cn * fdn_c2
-        denom = _peye_minus(pl_matmul(R, alb_n))
-        rhs = _pvec_add(_pvec_add(pl_matvec(T, fdn),
-                                  pl_matvec(R, src_n)), SD)
-        fdn_above = pl_solve_vec(denom, rhs)
-        fup_above = _pvec_add(pl_matvec(alb_n, fdn_above), src_n)
-        f0 = (T[0][0] * fdn[0] + R[0][0] * src_n[0] + SD[0]) \
-            / (1.0 - R[0][0] * alb_n[0][0])
-        u0 = src_n[0] + alb_n[0][0] * f0
-        cm = clr[:, None]
-        fdn_above = _pvec_where(cm, _pvec_embed0(f0, fdn_above),
-                                fdn_above)
-        fup_above = _pvec_where(cm, _pvec_embed0(u0, fup_above),
-                                fup_above)
-        skip = (clr & clr_below)[:, None]
-        mix = [sum(v9b[NREG * i + j][:, None] * fdn_above[j]
-                   for j in range(NREG)) for i in range(NREG)]
-        fdn_next = _pvec_where(skip, fdn_above, mix)
-        return (tuple(fdn_next), fdn_c2), \
-            (sum(fup_above), sum(fdn_above), fup_c, fdn_c2)
+         alb_cn, v9b_, clr, clr_below) = xs
+        b = lambda x: x[:, None]
+        mats = (_punstack(R9), _punstack(T9),
+                [SU3[r] for r in range(NREG)],
+                [SD3[r] for r in range(NREG)])
+        below = ([src_n3[r] for r in range(NREG)], _punstack(alb_n9),
+                 src_cn, alb_cn)
+        v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
+        (fdn_n, fdn_c2), ys = _lw_dn_core(
+            (fdn, fdn_c), mats, (rcl, tcl, sucl, sdcl), below, v9b,
+            (b(clr), b(clr_below)))
+        return (tuple(fdn_n), fdn_c2), ys
 
     carry_dn0 = ((zcg,) * NREG, zcg)
     xs_dn = (Rs, Ts, SUs, SDs,
