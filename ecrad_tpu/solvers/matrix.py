@@ -220,11 +220,15 @@ def pl_solve_mat(A, B):
     return [[cols[j][i] for j in range(n)] for i in range(m)]
 
 
-def pl_expm(A):
+def pl_expm(A, max_squarings=_STATIC_SQUARINGS):
     """Matrix exponential in plane form: Pade-7 scaling-and-squaring
     with the fixed masked squaring chain (see _STATIC_SQUARINGS; exact
-    for 1-norms <= 2^13 * theta3, far above the solver's clamped
-    inputs).
+    for 1-norms <= 2^max_squarings * theta3).  Callers whose inputs
+    carry a tighter physical norm bound may lower ``max_squarings`` —
+    the SPARTACUS LW 6x6 generator is bounded by ~2*max_cloud_od*gamma1
+    + 4*max_3d_transfer_rate*side_emiss ~ 120 << 2^6 * theta3 = 251,
+    so its chain runs 6 trips instead of 13 (the chain is ~2/3 of the
+    expm flops).
 
     Both the Pade power series (A^2 -> A^4 -> A^6 Horner accumulation)
     and the squaring chain run as static-trip ``fori_loop``s so the
@@ -240,7 +244,7 @@ def pl_expm(A):
         norm = jnp.maximum(norm, cs)
     frac, expo = jnp.frexp(jnp.maximum(norm / _THETA3, 1e-300))
     expo = jnp.where(frac == 0.5, expo - 1, expo)
-    expo = jnp.clip(expo, 0, _STATIC_SQUARINGS)
+    expo = jnp.clip(expo, 0, max_squarings)
     s = jnp.exp2(-expo).astype(dtype)
     As = [[A[i][j] * s for j in range(m)] for i in range(m)]
     A2 = pl_matmul(As, As)
@@ -287,7 +291,7 @@ def pl_expm(A):
         return tuple(tuple(jnp.where(keep, RR[i][j], R_[i][j])
                            for j in range(m)) for i in range(m))
 
-    R = jax.lax.fori_loop(0, _STATIC_SQUARINGS, _sq,
+    R = jax.lax.fori_loop(0, max_squarings, _sq,
                           tuple(tuple(row) for row in R),
                           unroll=False)
     return [list(row) for row in R]
@@ -426,10 +430,12 @@ def pl_fast_expm_exchange_3(a, b, c, d):
 
     small = tmp2 < 1e-3
     h2 = tmp2 * tmp2
+    # sinh(x)/x via exp (Pallas TPU has no sinh primitive); series for
+    # the confluent-eigenvalue limit
+    ex = jnp.exp(jnp.where(small, 1.0, tmp2))
     sinh_over = jnp.where(
         small, 1.0 + h2 / 6.0 * (1.0 + h2 / 20.0),
-        jnp.sinh(jnp.where(small, 1.0, tmp2)) / jnp.where(small, 1.0,
-                                                          tmp2))
+        (ex - 1.0 / ex) * 0.5 / jnp.where(small, 1.0, tmp2))
     dd1_12 = jnp.exp(-tmp1) * sinh_over
 
     tiny2 = jnp.abs(lam2) < 1e-3
@@ -464,9 +470,18 @@ def fast_expm_exchange_2(a, b):
 
 
 def _phi1(x):
-    """(e^x - 1)/x with the x->0 limit (stable for all x <= 0)."""
-    safe = jnp.where(x == 0.0, 1.0, x)
-    return jnp.where(x == 0.0, 1.0, jnp.expm1(safe) / safe)
+    """(e^x - 1)/x with the x->0 limit (stable for all x <= 0).
+
+    Series below |x| < 0.1 (next term ~2e-10 rel), exp form above —
+    written without expm1, which Pallas TPU cannot lower; the exp-form
+    cancellation is <= eps/0.1 ~ 1.2e-6 rel in f32, below the solver
+    noise floor."""
+    small = jnp.abs(x) < 0.1
+    xs = jnp.where(small, 0.0, x)
+    safe = jnp.where(small, 1.0, xs)
+    series = 1.0 + x / 2.0 * (1.0 + x / 3.0 * (
+        1.0 + x / 4.0 * (1.0 + x / 5.0 * (1.0 + x / 6.0))))
+    return jnp.where(small, series, (jnp.exp(safe) - 1.0) / safe)
 
 
 def fast_expm_exchange_3(a, b, c, d):
@@ -495,10 +510,12 @@ def fast_expm_exchange_3(a, b, c, d):
     # dd1(l1,l2): exact symmetric form, series for small half-gap
     small = tmp2 < 1e-3
     h2 = tmp2 * tmp2
+    # sinh(x)/x via exp (Pallas TPU has no sinh primitive); series for
+    # the confluent-eigenvalue limit
+    ex = jnp.exp(jnp.where(small, 1.0, tmp2))
     sinh_over = jnp.where(
         small, 1.0 + h2 / 6.0 * (1.0 + h2 / 20.0),
-        jnp.sinh(jnp.where(small, 1.0, tmp2)) / jnp.where(small, 1.0,
-                                                          tmp2))
+        (ex - 1.0 / ex) * 0.5 / jnp.where(small, 1.0, tmp2))
     dd1_12 = jnp.exp(-tmp1) * sinh_over
 
     # dd2(0,l1,l2) = (dd1(l1,l2) - dd1(l1,0)) / l2; when |l2| is small

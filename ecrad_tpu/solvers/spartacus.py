@@ -827,32 +827,6 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
                          config.cloud_fraction_threshold),
                      max_cloud_od=config.max_cloud_od)
 
-    def up_step(carry, xs):
-        """Thin scan wrapper over _sw_up_core: unpack the stacked
-        planes, broadcast the per-column scalars, emit the ENTRY carry
-        as this level's ys (albedo of the atmosphere below)."""
-        alb, albd, alb_c, albd_c, xdif, xdir = carry
-        (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl, u9, v9,
-         clr, clr_above, migrate, rf3, elp3, rfp3, invszp, opp, ntop,
-         xld, xldir) = xs
-        b = lambda x: x[:, None]
-        mats = tuple(_punstack(x) for x in (R9, T9, Rd9, Tdd9, Tdir9))
-        u9b = [b(u9[k]) for k in range(NREG * NREG)]
-        v9b = [b(v9[k]) for k in range(NREG * NREG)]
-        msk = (b(clr), b(clr_above), b(migrate), b(ntop))
-        ent = ([b(rf3[r]) for r in range(NREG)],
-               [b(elp3[r]) for r in range(NREG)],
-               [b(rfp3[r]) for r in range(NREG)],
-               b(invszp), b(opp), b(xld), b(xldir))
-        out_albs = (_pstack([list(r) for r in alb]),
-                    _pstack([list(r) for r in albd]), alb_c, albd_c)
-        alb_n, albd_n, alb_c_n, albd_c_n, xdif_n, xdir_n = _sw_up_core(
-            (alb, albd, alb_c, albd_c, xdif, xdir), mats,
-            (rcl, tcl, rdcl, tddcl, tdircl), u9b, v9b, msk, ent, sw_opts)
-        tup = lambda A: tuple(tuple(row) for row in A)
-        return (tup(alb_n), tup(albd_n), alb_c_n, albd_c_n,
-                tuple(xdif_n), tuple(xdir_n)), out_albs
-
     zcg = jnp.zeros((ncol, ng), dtype)
     bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
     alb0 = tuple(tuple(bc(albedo_diffuse) if i == j else zcg
@@ -860,51 +834,119 @@ def solver_spartacus_sw(config: Config, od, ssa, g, od_cloud_b,
     albd0 = tuple(tuple(bc(mu0[:, None] * albedo_direct) if i == j
                         else zcg for j in range(NREG))
                   for i in range(NREG))
-    carry0 = (alb0, albd0, bc(albedo_diffuse),
-              bc(mu0[:, None] * albedo_direct),
-              (zcg,) * NREG, (zcg,) * NREG)
-
-    xs_up = (Rs, Ts, Rds, Tdds, Tdirs,
-             lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl), lev(tdir_cl),
-             _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
-             lev(clear_layer), lev(clear_pad[:, :-2]),
-             lev(at_or_below_cloud_top), _lev3(reg_fracs),
-             _lev3(el_above), _lev3(rf_above), lev(inv_size_above),
-             lev(op_above),
-             jnp.broadcast_to(not_top[:, None], (nlev, ncol)),
-             lev(x_lay_dif_all), lev(x_lay_dir_all))
-
-    (alb_f, albd_f, alb_c_f, albd_c_f, _, _), \
-        (alb_s9, albd_s9, alb_c_s, albd_c_s) = jax.lax.scan(
-            up_step, carry0, xs_up, reverse=True)
-
-    # ---- downward pass (radiation_spartacus_sw.F90:779-957)
     ddn0 = tuple(incoming_sw * reg_fracs[:, 0, r][:, None]
                  for r in range(NREG))
+
+    from ecrad_tpu.solvers.adding import _mode as _adding_mode
+    from ecrad_tpu.solvers import pallas_spartacus as psp
+    use_psweeps = (_adding_mode() == "pallas"
+                   and psp._col_rows(ncol) is not None)
+    if use_psweeps:
+        # Pallas sweep kernels (solvers/pallas_spartacus.py): same core
+        # math, carries in VMEM, one kernel per sweep
+        tr2 = lambda a: jnp.transpose(a, (1, 0, 2))
+        if9 = lambda m: tr2(m.reshape(ncol, nlev, 9))
+        mk = lambda *fs: tr2(jnp.stack(
+            [jnp.broadcast_to(f, (ncol, nlev)).astype(dtype)
+             for f in fs], -1))
+        msk_up = mk(clear_layer, clear_pad[:, :-2],
+                    at_or_below_cloud_top, not_top[None, :])
+        msk_dn = mk(clear_layer, clear_pad[:, 2:])
+        ent13 = mk(reg_fracs[..., 0], reg_fracs[..., 1],
+                   reg_fracs[..., 2],
+                   el_above[..., 0], el_above[..., 1], el_above[..., 2],
+                   rf_above[..., 0], rf_above[..., 1], rf_above[..., 2],
+                   inv_size_above, op_above,
+                   x_lay_dif_all, x_lay_dir_all)
+        cl5p = (lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl),
+                lev(tdir_cl))
+        albd_f9, alb_c_f, albd_c_f, dn = psp.sw_sweeps(
+            sw_opts, Rs, Ts, Rds, Tdds, Tdirs, cl5p,
+            if9(u_mat[:, :-1]), if9(v_mat[:, :-1]), if9(v_mat[:, 1:]),
+            msk_up, msk_dn, ent13,
+            _pstack([list(r) for r in alb0]),
+            _pstack([list(r) for r in albd0]),
+            bc(albedo_diffuse), bc(mu0[:, None] * albedo_direct),
+            _pstack(list(ddn0)), bc(incoming_sw))
+        fup_l, fdn_l, fdir_l, fup_cl, fdn_cl, fdir_cl = dn
+        albd_f = _punstack(albd_f9)
+    else:
+        def up_step(carry, xs):
+            """Thin scan wrapper over _sw_up_core: unpack the stacked
+            planes, broadcast the per-column scalars, emit the ENTRY
+            carry as this level's ys."""
+            alb, albd, alb_c, albd_c, xdif, xdir = carry
+            (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl,
+             u9, v9, clr, clr_above, migrate, rf3, elp3, rfp3, invszp,
+             opp, ntop, xld, xldir) = xs
+            b = lambda x: x[:, None]
+            mats = tuple(_punstack(x)
+                         for x in (R9, T9, Rd9, Tdd9, Tdir9))
+            u9b = [b(u9[k]) for k in range(NREG * NREG)]
+            v9b = [b(v9[k]) for k in range(NREG * NREG)]
+            msk = (b(clr), b(clr_above), b(migrate), b(ntop))
+            ent = ([b(rf3[r]) for r in range(NREG)],
+                   [b(elp3[r]) for r in range(NREG)],
+                   [b(rfp3[r]) for r in range(NREG)],
+                   b(invszp), b(opp), b(xld), b(xldir))
+            out_albs = (_pstack([list(r) for r in alb]),
+                        _pstack([list(r) for r in albd]), alb_c, albd_c)
+            alb_n, albd_n, alb_c_n, albd_c_n, xdif_n, xdir_n = \
+                _sw_up_core(
+                    (alb, albd, alb_c, albd_c, xdif, xdir), mats,
+                    (rcl, tcl, rdcl, tddcl, tdircl), u9b, v9b, msk,
+                    ent, sw_opts)
+            tup = lambda A: tuple(tuple(row) for row in A)
+            return (tup(alb_n), tup(albd_n), alb_c_n, albd_c_n,
+                    tuple(xdif_n), tuple(xdir_n)), out_albs
+
+        carry0 = (alb0, albd0, bc(albedo_diffuse),
+                  bc(mu0[:, None] * albedo_direct),
+                  (zcg,) * NREG, (zcg,) * NREG)
+        xs_up = (Rs, Ts, Rds, Tdds, Tdirs,
+                 lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl),
+                 lev(tdir_cl),
+                 _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
+                 lev(clear_layer), lev(clear_pad[:, :-2]),
+                 lev(at_or_below_cloud_top), _lev3(reg_fracs),
+                 _lev3(el_above), _lev3(rf_above), lev(inv_size_above),
+                 lev(op_above),
+                 jnp.broadcast_to(not_top[:, None], (nlev, ncol)),
+                 lev(x_lay_dif_all), lev(x_lay_dir_all))
+        (alb_f, albd_f, alb_c_f, albd_c_f, _, _), \
+            (alb_s9, albd_s9, alb_c_s, albd_c_s) = jax.lax.scan(
+                up_step, carry0, xs_up, reverse=True)
+
+        # ---- downward pass (radiation_spartacus_sw.F90:779-957)
+        def dn_step(carry, xs):
+            fdn, ddn, fdn_c, ddn_c = carry
+            (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl,
+             alb_n9, albd_n9, alb_cn, albd_cn, v9b_, clr,
+             clr_below) = xs
+            b = lambda x: x[:, None]
+            mats = tuple(_punstack(x)
+                         for x in (R9, T9, Rd9, Tdd9, Tdir9))
+            below = (_punstack(alb_n9), _punstack(albd_n9), alb_cn,
+                     albd_cn)
+            v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
+            (fdn_n, ddn_n, fdn_c2, ddn_c2), ys = _sw_dn_core(
+                (fdn, ddn, fdn_c, ddn_c), mats,
+                (rcl, tcl, rdcl, tddcl, tdircl), below, v9b,
+                (b(clr), b(clr_below)))
+            return (tuple(fdn_n), tuple(ddn_n), fdn_c2, ddn_c2), ys
+
+        carry_dn0 = ((zcg,) * NREG, ddn0, zcg, bc(incoming_sw))
+        xs_dn = (Rs, Ts, Rds, Tdds, Tdirs,
+                 lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl),
+                 lev(tdir_cl),
+                 alb_s9, albd_s9, alb_c_s, albd_c_s,
+                 _lev9(v_mat[:, 1:]), lev(clear_layer),
+                 lev(clear_pad[:, 2:]))
+        _, (fup_l, fdn_l, fdir_l, fup_cl, fdn_cl, fdir_cl) = \
+            jax.lax.scan(dn_step, carry_dn0, xs_dn)
+
     fup_toa = sum(pl_matvec([list(r) for r in albd_f], list(ddn0)))
     fup_toa_c = incoming_sw * albd_c_f
-
-    def dn_step(carry, xs):
-        fdn, ddn, fdn_c, ddn_c = carry
-        (R9, T9, Rd9, Tdd9, Tdir9, rcl, tcl, rdcl, tddcl, tdircl,
-         alb_n9, albd_n9, alb_cn, albd_cn, v9b_, clr, clr_below) = xs
-        b = lambda x: x[:, None]
-        mats = tuple(_punstack(x) for x in (R9, T9, Rd9, Tdd9, Tdir9))
-        below = (_punstack(alb_n9), _punstack(albd_n9), alb_cn, albd_cn)
-        v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
-        (fdn_n, ddn_n, fdn_c2, ddn_c2), ys = _sw_dn_core(
-            (fdn, ddn, fdn_c, ddn_c), mats,
-            (rcl, tcl, rdcl, tddcl, tdircl), below, v9b,
-            (b(clr), b(clr_below)))
-        return (tuple(fdn_n), tuple(ddn_n), fdn_c2, ddn_c2), ys
-
-    carry_dn0 = ((zcg,) * NREG, ddn0, zcg, bc(incoming_sw))
-    xs_dn = (Rs, Ts, Rds, Tdds, Tdirs,
-             lev(r_cl), lev(t_cl), lev(rd_cl), lev(tdd_cl), lev(tdir_cl),
-             alb_s9, albd_s9, alb_c_s, albd_c_s,
-             _lev9(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
-    _, (fup_l, fdn_l, fdir_l, fup_cl, fdn_cl, fdir_cl) = jax.lax.scan(
-        dn_step, carry_dn0, xs_dn)
 
     tolev = lambda a: jnp.moveaxis(a, 0, 1)
     # half-level (ncol, nlev+1, ng) profiles, regions already summed
@@ -1061,7 +1103,12 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
                 sol_d = [-x for x in pl_solve_vec(G, pd)]
                 sol0 = pl_solve_vec(G, [sol_d[i] - pt[i]
                                         for i in range(2 * NREG)])
-                E = pl_expm(G)
+                # LW 6x6 norm is physically bounded by ~2*max_cloud_od
+                # *gamma1 + 4*max_3d_transfer_rate*side_emiss ~ 120
+                # << 2^6 * theta3 = 251 (asserted in
+                # tests/test_plane_algebra.py) — 6 squaring trips
+                # suffice, vs 13 for the SW direct block
+                E = pl_expm(G, max_squarings=6)
                 E11 = [row[0:NREG] for row in E[0:NREG]]
                 E12 = [row[NREG:] for row in E[0:NREG]]
                 E21 = [row[0:NREG] for row in E[NREG:]]
@@ -1141,62 +1188,87 @@ def solver_spartacus_lw(config: Config, od, ssa, g, od_cloud_b,
 
     lw_opts = LwOpts(multilayer=multilayer)
 
-    def up_step(carry, xs):
-        alb, src, alb_c, src_c = carry
-        (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, u9, v9, clr,
-         clr_above) = xs
-        b = lambda x: x[:, None]
-        out = (_pstack([list(r) for r in alb]), _pstack(list(src)),
-               alb_c, src_c)
-        mats = (_punstack(R9), _punstack(T9),
-                [SU3[r] for r in range(NREG)],
-                [SD3[r] for r in range(NREG)])
-        u9b = [b(u9[k]) for k in range(NREG * NREG)]
-        v9b = [b(v9[k]) for k in range(NREG * NREG)]
-        alb_n, src_n, alb_c_n, src_c_n = _lw_up_core(
-            (alb, src, alb_c, src_c), mats, (rcl, tcl, sucl, sdcl),
-            u9b, v9b, (b(clr), b(clr_above)), lw_opts)
-        tup = lambda A: tuple(tuple(row) for row in A)
-        return (tup(alb_n), tuple(src_n), alb_c_n, src_c_n), out
-
     zcg = jnp.zeros((ncol, ng), dtype)
     bc = lambda x: jnp.broadcast_to(x, (ncol, ng)).astype(dtype)
     alb0 = tuple(tuple(bc(albedo) if i == j else zcg
                        for j in range(NREG)) for i in range(NREG))
     src0 = tuple(emission * reg_fracs[:, -1, r][:, None]
                  for r in range(NREG))
-    carry0 = (alb0, src0, bc(albedo), bc(emission))
-    xs_up = (Rs, Ts, SUs, SDs,
-             lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
-             _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
-             lev(clear_layer), lev(clear_pad[:, :-2]))
-    (alb_f, src_f, alb_c_f, src_c_f), (alb_s9, src_s3, alb_c_s, src_c_s) \
-        = jax.lax.scan(up_step, carry0, xs_up, reverse=True)
 
-    # ---- downward pass (radiation_spartacus_lw.F90:509-595)
-    def dn_step(carry, xs):
-        fdn, fdn_c = carry
-        (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, src_n3, alb_n9, src_cn,
-         alb_cn, v9b_, clr, clr_below) = xs
-        b = lambda x: x[:, None]
-        mats = (_punstack(R9), _punstack(T9),
-                [SU3[r] for r in range(NREG)],
-                [SD3[r] for r in range(NREG)])
-        below = ([src_n3[r] for r in range(NREG)], _punstack(alb_n9),
-                 src_cn, alb_cn)
-        v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
-        (fdn_n, fdn_c2), ys = _lw_dn_core(
-            (fdn, fdn_c), mats, (rcl, tcl, sucl, sdcl), below, v9b,
-            (b(clr), b(clr_below)))
-        return (tuple(fdn_n), fdn_c2), ys
+    from ecrad_tpu.solvers.adding import _mode as _adding_mode
+    from ecrad_tpu.solvers import pallas_spartacus as psp
+    use_psweeps = (_adding_mode() == "pallas"
+                   and psp._col_rows(ncol) is not None)
+    if use_psweeps:
+        tr2 = lambda a: jnp.transpose(a, (1, 0, 2))
+        if9 = lambda m: tr2(m.reshape(ncol, nlev, 9))
+        mk = lambda *fs: tr2(jnp.stack(
+            [jnp.broadcast_to(f, (ncol, nlev)).astype(dtype)
+             for f in fs], -1))
+        msk_up = mk(clear_layer, clear_pad[:, :-2])
+        msk_dn = mk(clear_layer, clear_pad[:, 2:])
+        cl4p = (lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl))
+        src_f3, src_c_f, dn = psp.lw_sweeps(
+            lw_opts, Rs, Ts, SUs, SDs, cl4p,
+            if9(u_mat[:, :-1]), if9(v_mat[:, :-1]), if9(v_mat[:, 1:]),
+            msk_up, msk_dn,
+            _pstack([list(r) for r in alb0]), _pstack(list(src0)),
+            bc(albedo), bc(emission))
+        fup_l, fdn_l, fup_cl, fdn_cl = dn
+        src_f = [src_f3[r] for r in range(NREG)]
+    else:
+        def up_step(carry, xs):
+            alb, src, alb_c, src_c = carry
+            (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, u9, v9, clr,
+             clr_above) = xs
+            b = lambda x: x[:, None]
+            out = (_pstack([list(r) for r in alb]), _pstack(list(src)),
+                   alb_c, src_c)
+            mats = (_punstack(R9), _punstack(T9),
+                    [SU3[r] for r in range(NREG)],
+                    [SD3[r] for r in range(NREG)])
+            u9b = [b(u9[k]) for k in range(NREG * NREG)]
+            v9b = [b(v9[k]) for k in range(NREG * NREG)]
+            alb_n, src_n, alb_c_n, src_c_n = _lw_up_core(
+                (alb, src, alb_c, src_c), mats, (rcl, tcl, sucl, sdcl),
+                u9b, v9b, (b(clr), b(clr_above)), lw_opts)
+            tup = lambda A: tuple(tuple(row) for row in A)
+            return (tup(alb_n), tuple(src_n), alb_c_n, src_c_n), out
 
-    carry_dn0 = ((zcg,) * NREG, zcg)
-    xs_dn = (Rs, Ts, SUs, SDs,
-             lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
-             src_s3, alb_s9, src_c_s, alb_c_s,
-             _lev9(v_mat[:, 1:]), lev(clear_layer), lev(clear_pad[:, 2:]))
-    _, (fup_l, fdn_l, fup_cl, fdn_cl) = jax.lax.scan(
-        dn_step, carry_dn0, xs_dn)
+        carry0 = (alb0, src0, bc(albedo), bc(emission))
+        xs_up = (Rs, Ts, SUs, SDs,
+                 lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
+                 _lev9(u_mat[:, :-1]), _lev9(v_mat[:, :-1]),
+                 lev(clear_layer), lev(clear_pad[:, :-2]))
+        (alb_f, src_f, alb_c_f, src_c_f), \
+            (alb_s9, src_s3, alb_c_s, src_c_s) \
+            = jax.lax.scan(up_step, carry0, xs_up, reverse=True)
+
+        # ---- downward pass (radiation_spartacus_lw.F90:509-595)
+        def dn_step(carry, xs):
+            fdn, fdn_c = carry
+            (R9, T9, SU3, SD3, rcl, tcl, sucl, sdcl, src_n3, alb_n9,
+             src_cn, alb_cn, v9b_, clr, clr_below) = xs
+            b = lambda x: x[:, None]
+            mats = (_punstack(R9), _punstack(T9),
+                    [SU3[r] for r in range(NREG)],
+                    [SD3[r] for r in range(NREG)])
+            below = ([src_n3[r] for r in range(NREG)],
+                     _punstack(alb_n9), src_cn, alb_cn)
+            v9b = [b(v9b_[k]) for k in range(NREG * NREG)]
+            (fdn_n, fdn_c2), ys = _lw_dn_core(
+                (fdn, fdn_c), mats, (rcl, tcl, sucl, sdcl), below, v9b,
+                (b(clr), b(clr_below)))
+            return (tuple(fdn_n), fdn_c2), ys
+
+        carry_dn0 = ((zcg,) * NREG, zcg)
+        xs_dn = (Rs, Ts, SUs, SDs,
+                 lev(r_cl), lev(t_cl), lev(su_cl), lev(sd_cl),
+                 src_s3, alb_s9, src_c_s, alb_c_s,
+                 _lev9(v_mat[:, 1:]), lev(clear_layer),
+                 lev(clear_pad[:, 2:]))
+        _, (fup_l, fdn_l, fup_cl, fdn_cl) = jax.lax.scan(
+            dn_step, carry_dn0, xs_dn)
 
     tolev = lambda a: jnp.moveaxis(a, 0, 1)
     fup_g = jnp.concatenate([sum(src_f)[:, None], tolev(fup_l)], 1)

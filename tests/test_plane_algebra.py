@@ -166,6 +166,32 @@ def test_pl_fast_expm_exchange_3_batch():
     np.testing.assert_allclose(pl, arr, rtol=1e-13, atol=1e-15)
 
 
+def test_lw_squaring_cap_covers_config_clamps():
+    """The SPARTACUS LW solver runs pl_expm with max_squarings=6
+    (spartacus layer_mats): assert the worst-case LW 6x6 Gamma 1-norm
+    implied by the config clamps stays below 2^6 * theta3, and that
+    pl_expm at that cap matches scipy near the bound."""
+    from ecrad_tpu.config import Config
+    from ecrad_tpu.solvers.spartacus import SIDE_EMISS_THIN
+
+    cfg = Config()
+    od = cfg.max_cloud_od
+    tr = cfg.max_3d_transfer_rate
+    # one column of the LW G: |od*g1 + sum of 3 rates| + 2 rate entries
+    # (side-emissivity-scaled, <= 1.4107) + the od*g2 coupling (g2 <=
+    # gamma1 <= 2 for ssa <= 1)
+    worst = od * 2.0 + 3.0 * tr * SIDE_EMISS_THIN \
+        + 2.0 * tr * SIDE_EMISS_THIN + od * 2.0
+    cap = 2.0 ** 6 * M._THETA3
+    assert worst < cap, (worst, cap)
+    rng = np.random.default_rng(23)
+    G = _exchange_generator(rng, (3,), 6, od_scale=worst / 2.0)
+    got = np.asarray(M.planes_to(M.pl_expm(
+        M.planes_from(jnp.asarray(G)), max_squarings=6)))
+    ref = np.stack([sla.expm(g) for g in G])
+    np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-12)
+
+
 def test_static_squaring_cap_covers_config_clamps():
     """_STATIC_SQUARINGS=13 caps the masked squaring chain: it is exact
     for 1-norms <= 2^13 * theta3.  Assert the worst-case SPARTACUS

@@ -206,3 +206,75 @@ def test_tpu_tripleclouds_fused_vs_scan():
     sys.stderr.write(r.stderr[-2000:])
     assert r.returncode == 0 and "TPU_TRIPLECLOUDS_OK" in r.stdout, (
         f"TPU Tripleclouds smoke failed rc={r.returncode}")
+
+
+_SPARTACUS_SWEEPS_SCRIPT = r"""
+import os, sys, dataclasses
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax
+from ecrad_tpu.jax_setup import enable_persistent_cache
+enable_persistent_cache()
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected accelerator, got {dev}"
+print("device:", dev)
+
+sys.path.insert(0, os.path.join(%(repo)r, "tools"))
+import __graft_entry__ as ge
+from bench_matrix import _resolve
+over = _resolve(dict(sw_solver_name="SPARTACUS",
+                     lw_solver_name="SPARTACUS",
+                     do_3d_effects=True,
+                     do_sw_delta_scaling_with_gases=False))
+
+def run(adding_mode, ncol=128):
+    os.environ["ECRAD_TPU_ADDING"] = adding_mode
+    step, args = ge._build(ncol=ncol, dtype="float32",
+                           nam_overrides=over)
+    out = jax.jit(step)(*args)
+    jax.block_until_ready(out)
+    os.environ.pop("ECRAD_TPU_ADDING", None)
+    return out
+
+ref = run("scan")      # lax.scan sweeps (golden-validated path)
+got = run("pallas")    # pallas_spartacus sweep kernels
+worst = {}
+for f in [x.name for x in dataclasses.fields(ref)]:
+    a, b = getattr(ref, f), getattr(got, f)
+    if a is None or not hasattr(a, "shape"):
+        assert (a is None) == (b is None), f
+        continue
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    worst[f] = float(np.abs(a - b).max() / max(1.0, np.abs(a).max()))
+print("sweeps-vs-scan rel:",
+      {k: round(v, 9) for k, v in sorted(worst.items(),
+                                         key=lambda kv: -kv[1])[:5]})
+# the sweeps share the exact core step math with the scan path
+# (spartacus._sw_up_core etc.), so only f32 scheduling roundoff
+# remains — measured 1.9e-7 worst on first validation
+bad = {k: v for k, v in worst.items() if v > 5e-6}
+assert not bad, f"pallas SPARTACUS sweeps deviate: {bad}"
+print("TPU_SPARTACUS_SWEEPS_OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="set RUN_TPU_TESTS=1 to run on the real TPU")
+def test_tpu_spartacus_sweeps_vs_scan():
+    """Pallas SPARTACUS sweep kernels (pallas_spartacus.py) match the
+    lax.scan sweeps on the real device to f32 roundoff."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    r = subprocess.run(
+        [sys.executable, "-c", _SPARTACUS_SWEEPS_SCRIPT % {"repo": repo}],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0 and "TPU_SPARTACUS_SWEEPS_OK" in r.stdout, (
+        f"TPU SPARTACUS sweeps smoke failed rc={r.returncode}")
