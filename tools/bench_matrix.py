@@ -50,13 +50,16 @@ CONFIGS = {
         use_aerosols=False, n_aerosol_types=0, i_aerosol_type_map=(),
     ), 2048, 1024),
     # McICA + ecCKD-32b: the gas model with 8x fewer g-points than the
-    # flagship's RRTMG on the flagship solver (round-4 review item 4)
+    # flagship's RRTMG on the flagship solver (round-4 review item 4).
+    # ncol=2048 unblocked measured fastest (block chaining adds
+    # ~2.4 ms/block; larger single batches regress on the h2o conc-LUT
+    # intermediate)
     "ecckd_mcica": (dict(
         gas_model_sw_name="ECCKD", gas_model_lw_name="ECCKD",
         use_general_cloud_optics=True,
         do_nearest_spectral_lw_emiss=False,
         use_aerosols=False, n_aerosol_types=0, i_aerosol_type_map=(),
-    ), 6144, 2048),
+    ), 2048, 2048),
     # BASELINE config 5: SPARTACUS 3D SW+LW, explicit entrapment
     # (configCY49R1 solver swap + do_3d_effects, test_spartacus pattern).
     # ncol=512 unblocked measured fastest per column (round-5: 2.8k
