@@ -235,7 +235,7 @@ def pl_expm(A, max_squarings=_STATIC_SQUARINGS):
     traced HLO carries exactly TWO unrolled m^3 plane matmuls (A@A and
     the loop bodies) instead of six — this is what brought the plane
     form's XLA compile time down far enough to make it the accelerator
-    default (round-5; see _use_plane_layer_mats in spartacus.py)."""
+    only SPARTACUS implementation (round-5; see spartacus.py)."""
     m = len(A)
     dtype = A[0][0].dtype
     colsums = [sum(jnp.abs(A[i][j]) for i in range(m)) for j in range(m)]

@@ -54,11 +54,6 @@ def _b9(ref):
     return [v[:, k:k + 1] for k in range(_N2)]
 
 
-def _bK(ref, cols):
-    v = ref[0]
-    return [v[:, k:k + 1] for k in cols]
-
-
 # ---------------------------------------------------------------------------
 # SW kernels
 # ---------------------------------------------------------------------------

@@ -5,7 +5,8 @@ shapes, so layer-matrix optimizations can be iterated without paying
 the full-pipeline compile each time.
 
 Usage: python tools/bench_spartacus.py [sw|lw|both] [--ncol N] [--ng G]
-Env: ECRAD_TPU_SPARTACUS_PLANES=0/1 selects the layer-matrix algebra.
+Env: ECRAD_TPU_SPARTACUS_CHUNK tunes the layer-matrix level chunk;
+ECRAD_TPU_ADDING=scan forces the lax.scan sweeps (vs the Pallas kernels).
 """
 
 import argparse
@@ -111,8 +112,8 @@ def bench(which="both", ncol=512, nlev=137, ng=112, niter=5):
         return t_compile, t
 
     kw = dict(common)
-    planes = os.environ.get("ECRAD_TPU_SPARTACUS_PLANES", "unset")
-    print(f"# planes={planes} ncol={ncol} nlev={nlev} ng={ng} "
+    chunk = os.environ.get("ECRAD_TPU_SPARTACUS_CHUNK", "1")
+    print(f"# chunk={chunk} ncol={ncol} nlev={nlev} ng={ng} "
           f"backend={jax.default_backend()}", flush=True)
     if which in ("sw", "both"):
         run_one("sw", solver_spartacus_sw, {**kw, **sw_in})
