@@ -281,9 +281,11 @@ def pl_expm(A, max_squarings=_STATIC_SQUARINGS):
     R = [[R[i][j] + (1.0 if i == j else 0.0) for j in range(m)]
          for i in range(m)]
 
-    # static-trip fori_loop: keeps the HLO one squaring body instead of
-    # 13 unrolled m^3 matmuls (compile-time control; the trip count is
-    # compile-time constant so there is no dynamic-dispatch overhead)
+    # fori_loop with a TRACED bound (lowers to an on-device while): the
+    # per-element masked squaring makes trips beyond each element's own
+    # expo exact no-ops, so running only to the batch max is
+    # bit-identical to the static chain while skipping the (typically
+    # ~half) trips nothing needs; max_squarings stays the hard cap
     def _sq(it, Rt):
         R_ = [list(row) for row in Rt]
         RR = pl_matmul(R_, R_)
@@ -291,7 +293,8 @@ def pl_expm(A, max_squarings=_STATIC_SQUARINGS):
         return tuple(tuple(jnp.where(keep, RR[i][j], R_[i][j])
                            for j in range(m)) for i in range(m))
 
-    R = jax.lax.fori_loop(0, max_squarings, _sq,
+    n_needed = jnp.max(expo).astype(jnp.int32)
+    R = jax.lax.fori_loop(0, n_needed, _sq,
                           tuple(tuple(row) for row in R),
                           unroll=False)
     return [list(row) for row in R]
@@ -412,8 +415,10 @@ def pl_expm_blockut(A11, A13, A33):
             for Xb, Yb in zip(X, Y))
         return sel(RR, Rt)
 
-    R = jax.lax.fori_loop(0, _STATIC_SQUARINGS, _sq, _tup(R),
-                          unroll=False)
+    # traced bound = batch max: bit-identical to the static chain (see
+    # pl_expm) while skipping trips no element needs
+    n_needed = jnp.max(expo).astype(jnp.int32)
+    R = jax.lax.fori_loop(0, n_needed, _sq, _tup(R), unroll=False)
     return tuple([list(row) for row in Rb] for Rb in R)
 
 
