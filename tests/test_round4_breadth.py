@@ -148,3 +148,32 @@ def test_encroachment_namelist_aliases():
     c = Config.from_dict({"sw_encroachment_name": "Maximum",
                           "sw_entrapment_name": "Zero"})
     assert c.sw_entrapment == Entrapment.ZERO
+
+
+def test_kernel_layout_gating_accepts_tripleclouds():
+    """Round 5: use_kernel_layout admits Tripleclouds (fused Pallas
+    path) under the same structural conditions as McICA, and rejects
+    n_regions=2 (the fused kernels are 3-region)."""
+    from unittest import mock
+
+    from ecrad_tpu.config import Config, Solver
+    from ecrad_tpu.interface import setup_radiation, use_kernel_layout
+
+    config, tables = setup_radiation(Config(
+        sw_solver=Solver.TRIPLECLOUDS, lw_solver=Solver.TRIPLECLOUDS,
+        do_lw_aerosol_scattering=False))
+    cloud = {"fraction": np.zeros((4, 7))}
+    with mock.patch("ecrad_tpu.solvers.adding._mode",
+                    return_value="pallas"):
+        assert use_kernel_layout(config, tables, cloud)
+        cfg2 = dataclasses_replace(config, nregions=2)
+        assert not use_kernel_layout(cfg2, tables, cloud)
+    # scan mode (CPU) never uses the kernel layout
+    with mock.patch("ecrad_tpu.solvers.adding._mode",
+                    return_value="scan"):
+        assert not use_kernel_layout(config, tables, cloud)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
