@@ -730,7 +730,7 @@ def sw_fused(od, ssa, g, odc_b, ssac_b, gc_b, od_scaling2, clear_m,
      dn_bb_t, up_bb_t, fdn_surf_t) = s3
 
     return dict(
-        ftc=ftc, albd_top=albd_top, albd_top_c=albd_top_c,
+        albd_top=albd_top, albd_top_c=albd_top_c,
         dir_bb_c=dir_bb_c, dir_bb_t=dir_bb_t,
         fdir_surf_c=fdir_surf_c, fdir_surf_t=fdir_surf_t,
         dn_bb_c=dn_bb_c, up_bb_c=up_bb_c,
